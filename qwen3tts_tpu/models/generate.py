@@ -1,0 +1,306 @@
+"""Fused autoregressive generation loop.
+
+This replaces the reference's three copied Swift decode loops
+(reference: Sources/Qwen3TTS/Models/Qwen3.swift:587-755, 783-962, 1009-1203)
+with ONE jit-compiled program: prefill + ``lax.while_loop`` over decode steps,
+where each step runs the talker, samples codebook 0, conditionally runs the
+15-step code-predictor inner loop, and assembles the next input embedding —
+entirely on device. The reference pays a host⇄GPU sync per talker step *and*
+per codebook (16 syncs per 80 ms audio frame, SURVEY.md §3.2); here the host
+is only involved between *chunks*.
+
+Structure:
+  * ``prefill_start``  — process the (bucketed, right-padded) prompt, sample
+    the first frame, return a resumable :class:`GenCarry`.
+  * ``generate_chunk`` — advance the carry up to N more frames in one fused
+    while_loop (token events are read from the returned buffer, so streaming
+    needs no host callbacks — important: the TPU tunnel in this environment
+    does not support ``io_callback``).
+  * ``generate_codes`` — non-streaming convenience: prefill + full loop as a
+    single program (fastest path; one device round-trip per utterance).
+
+Static shapes throughout: prompts right-padded to buckets, generated codes in
+a preallocated ``[max_frames, 16]`` buffer, the trailing text stream as a
+padded buffer indexed by the step counter; EOS terminates the while_loop
+without shape changes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CodePredictorConfig, TalkerConfig
+from ..ops.sampling import build_suppress_mask, sample_token_inner
+from . import code_predictor as cp
+from . import talker as tk
+
+
+class SamplingConfig(NamedTuple):
+    """Static sampling hyper-parameters (hashable; part of the jit key)."""
+
+    temperature: float = 0.9
+    top_k: int = 50
+    top_p: float = 1.0
+    repetition_penalty: float = 1.05
+
+
+class GenCarry(NamedTuple):
+    """Resumable generation state (a pytree; flows through jit unchanged)."""
+
+    step: jnp.ndarray  # frames completed
+    eos: jnp.ndarray  # bool: EOS sampled
+    cur_input: jnp.ndarray  # [B, 1, h] next talker input
+    cache: tk.KVCache
+    offset: jnp.ndarray  # valid cache length
+    seen: jnp.ndarray  # [vocab] bool, repetition-penalty set
+    codes: jnp.ndarray  # [max_frames, 16] int32
+    tokens: jnp.ndarray  # [max_frames] int32 first-codebook tokens
+    key: jax.Array
+
+
+class GenResult(NamedTuple):
+    codes: jnp.ndarray  # [max_frames, 16] int32 (rows >= n_frames are zero)
+    n_frames: jnp.ndarray  # scalar int32: frames generated before EOS/cap
+    tokens: jnp.ndarray  # [max_frames] int32
+
+
+def _frame(
+    talker_params,
+    cp_params,
+    talker_cfg: TalkerConfig,
+    cp_cfg: CodePredictorConfig,
+    sampling: SamplingConfig,
+    suppress_mask,
+    hidden_last,  # [B, h] talker hidden at the sampled position
+    logits_last,  # [B, vocab] float32
+    seen,  # [vocab] bool
+    key,
+):
+    """Sample codebook 0 + run the code predictor for one frame.
+
+    Returns (code0 [B], rest [B,15], is_eos scalar bool, seen', key').
+    """
+    key, k_tok, k_cp = jax.random.split(key, 3)
+    code0 = sample_token_inner(
+        k_tok,
+        logits_last,
+        temperature=sampling.temperature,
+        top_k=sampling.top_k,
+        top_p=sampling.top_p,
+        repetition_penalty=sampling.repetition_penalty,
+        seen=seen,
+        suppress_mask=suppress_mask,
+        eos_token_id=talker_cfg.codec_eos_token_id,
+    )  # [B]
+    seen = seen.at[code0[0]].set(True)
+    is_eos = code0[0] == talker_cfg.codec_eos_token_id
+
+    rest = jax.lax.cond(
+        is_eos,
+        lambda: jnp.zeros((code0.shape[0], cp_cfg.num_code_groups - 1), jnp.int32),
+        lambda: cp.predict_codes(
+            cp_params,
+            cp_cfg,
+            talker_params,
+            hidden_last,
+            code0,
+            k_cp,
+            temperature=sampling.temperature,
+            top_k=sampling.top_k,
+            top_p=sampling.top_p,
+        ),
+    )
+    return code0, rest, is_eos, seen, key
+
+
+def _next_input(
+    cp_params, talker_params, trailing_embeds, trailing_len, tts_pad_embed, step, code0, rest
+):
+    """trailing text (or pad) + sum of all 16 codebook embeddings
+    (reference Qwen3.swift:710-728)."""
+    text = jnp.where(
+        step < trailing_len,
+        trailing_embeds[jnp.minimum(step, trailing_embeds.shape[0] - 1)],
+        tts_pad_embed,
+    )
+    codec = cp.sum_codec_embeddings(cp_params, talker_params, code0, rest)  # [B, h]
+    return (text[None] + codec)[:, None]  # [B, 1, h]
+
+
+def _record(carry_codes, carry_tokens, step, code0, rest, is_eos):
+    row = jnp.concatenate([code0[:1], rest[0]], axis=0)
+    codes = jnp.where(is_eos, carry_codes, carry_codes.at[step].set(row))
+    tokens = carry_tokens.at[step].set(jnp.where(is_eos, -1, code0[0]))
+    return codes, tokens
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("talker_cfg", "cp_cfg", "sampling", "max_frames"),
+)
+def prefill_start(
+    talker_params,
+    cp_params,
+    *,
+    talker_cfg: TalkerConfig,
+    cp_cfg: CodePredictorConfig,
+    sampling: SamplingConfig,
+    prefill_embeds: jnp.ndarray,  # [1, P_bucket, h] right-padded
+    prefill_len: jnp.ndarray,  # scalar int32: real prompt tokens
+    trailing_embeds: jnp.ndarray,  # [T_trail, h]
+    trailing_len: jnp.ndarray,
+    tts_pad_embed: jnp.ndarray,  # [h]
+    cache: tk.KVCache,
+    max_frames: int,
+    key: jax.Array,
+) -> GenCarry:
+    """Process the prompt and sample the first frame; returns a GenCarry."""
+    vocab = talker_cfg.vocab_size
+    suppress_mask = build_suppress_mask(vocab, talker_cfg.codec_eos_token_id)
+    codes_buf = jnp.zeros((max_frames, talker_cfg.num_code_groups), jnp.int32)
+    tokens_buf = jnp.zeros((max_frames,), jnp.int32)
+    seen0 = jnp.zeros((vocab,), bool)
+
+    hidden, cache = tk.forward(
+        talker_params, talker_cfg, prefill_embeds, cache, jnp.int32(0)
+    )
+    hidden_last = jax.lax.dynamic_index_in_dim(
+        hidden, prefill_len - 1, axis=1, keepdims=False
+    )
+    logits_last = tk.codec_logits(talker_params, hidden_last[:, None])[:, 0]
+
+    code0, rest, is_eos, seen, key = _frame(
+        talker_params, cp_params, talker_cfg, cp_cfg, sampling, suppress_mask,
+        hidden_last, logits_last, seen0, key,
+    )
+    codes_buf, tokens_buf = _record(codes_buf, tokens_buf, jnp.int32(0), code0, rest, is_eos)
+    return GenCarry(
+        step=jnp.where(is_eos, 0, 1).astype(jnp.int32),
+        eos=is_eos,
+        cur_input=_next_input(
+            cp_params, talker_params, trailing_embeds, trailing_len, tts_pad_embed,
+            jnp.int32(0), code0, rest,
+        ),
+        cache=cache,
+        offset=prefill_len,
+        seen=seen,
+        codes=codes_buf,
+        tokens=tokens_buf,
+        key=key,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("talker_cfg", "cp_cfg", "sampling"),
+    donate_argnames=("carry",),
+)
+def generate_chunk(
+    talker_params,
+    cp_params,
+    carry: GenCarry,
+    *,
+    talker_cfg: TalkerConfig,
+    cp_cfg: CodePredictorConfig,
+    sampling: SamplingConfig,
+    trailing_embeds: jnp.ndarray,
+    trailing_len: jnp.ndarray,
+    tts_pad_embed: jnp.ndarray,
+    until_step: jnp.ndarray,  # scalar int32: run while step < until_step
+) -> GenCarry:
+    """Advance the generation by up to (until_step - carry.step) frames."""
+    suppress_mask = build_suppress_mask(
+        talker_cfg.vocab_size, talker_cfg.codec_eos_token_id
+    )
+    max_frames = carry.codes.shape[0]
+    limit = jnp.minimum(until_step, jnp.int32(max_frames))
+
+    def cond(c: GenCarry):
+        return jnp.logical_and(~c.eos, c.step < limit)
+
+    def body(c: GenCarry) -> GenCarry:
+        hidden, cache = tk.forward(
+            talker_params, talker_cfg, c.cur_input, c.cache, c.offset
+        )
+        logits_last = tk.codec_logits(talker_params, hidden)[:, 0]
+        code0, rest, is_eos, seen, key = _frame(
+            talker_params, cp_params, talker_cfg, cp_cfg, sampling, suppress_mask,
+            hidden[:, 0], logits_last, c.seen, c.key,
+        )
+        codes, tokens = _record(c.codes, c.tokens, c.step, code0, rest, is_eos)
+        return GenCarry(
+            step=c.step + jnp.where(is_eos, 0, 1),
+            eos=is_eos,
+            cur_input=_next_input(
+                cp_params, talker_params, trailing_embeds, trailing_len, tts_pad_embed,
+                c.step, code0, rest,
+            ),
+            cache=cache,
+            offset=c.offset + 1,
+            seen=seen,
+            codes=codes,
+            tokens=tokens,
+            key=key,
+        )
+
+    return jax.lax.while_loop(cond, body, carry)
+
+
+def generate_codes(
+    talker_params,
+    cp_params,
+    *,
+    talker_cfg: TalkerConfig,
+    cp_cfg: CodePredictorConfig,
+    sampling: SamplingConfig,
+    prefill_embeds: jnp.ndarray,
+    prefill_len: jnp.ndarray,
+    trailing_embeds: jnp.ndarray,
+    trailing_len: jnp.ndarray,
+    tts_pad_embed: jnp.ndarray,
+    cache: tk.KVCache,
+    max_steps: jnp.ndarray,
+    max_frames: int,
+    key: jax.Array,
+) -> GenResult:
+    """Run the full AR synthesis loop for one utterance; returns codec codes."""
+    carry = prefill_start(
+        talker_params,
+        cp_params,
+        talker_cfg=talker_cfg,
+        cp_cfg=cp_cfg,
+        sampling=sampling,
+        prefill_embeds=prefill_embeds,
+        prefill_len=prefill_len,
+        trailing_embeds=trailing_embeds,
+        trailing_len=trailing_len,
+        tts_pad_embed=tts_pad_embed,
+        cache=cache,
+        max_frames=max_frames,
+        key=key,
+    )
+    carry = generate_chunk(
+        talker_params,
+        cp_params,
+        carry,
+        talker_cfg=talker_cfg,
+        cp_cfg=cp_cfg,
+        sampling=sampling,
+        trailing_embeds=trailing_embeds,
+        trailing_len=trailing_len,
+        tts_pad_embed=tts_pad_embed,
+        until_step=jnp.asarray(max_steps, jnp.int32),
+    )
+    return GenResult(codes=carry.codes, n_frames=carry.step, tokens=carry.tokens)
+
+
+def pad_to_bucket(length: int, buckets=(64, 128, 256, 384, 512, 768, 1024, 1536, 2048)):
+    """Smallest bucket >= length (bounds jit recompiles across prompt sizes)."""
+    for b in buckets:
+        if length <= b:
+            return b
+    return ((length + 255) // 256) * 256

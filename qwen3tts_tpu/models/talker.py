@@ -1,0 +1,244 @@
+"""Talker: the main autoregressive MRoPE transformer.
+
+TPU-native re-design of the reference Talker
+(reference: Sources/Qwen3TTS/Models/Talker.swift:157-651):
+
+* Parameters are plain pytrees (nested dicts of jnp arrays); all forwards are
+  pure functions — no module mutation, no lazy-eval sync points.
+* The 28 decoder layers are **stacked on a leading axis and driven by
+  ``lax.scan``**, so the compiled program has one layer body regardless of
+  depth (fast compiles, identical numerics).
+* The KV cache is a preallocated static-shape buffer ``[L, B, H_kv, T_max, D]``
+  updated with ``dynamic_update_slice`` inside the jitted step; sequence
+  validity is handled by masking, never by dynamic shapes.
+* Per-layer pruned MLP widths (edge checkpoints,
+  reference Talker.swift:513-518) are supported by zero-padding gate/up/down
+  projections to the maximum width — zero columns contribute exactly zero
+  through SwiGLU, so numerics are unchanged while ``scan`` stays rectangular.
+
+Linear weights are stored as ``[in, out]`` (``y = x @ w``), the natural MXU
+layout; the checkpoint loader transposes from PyTorch's ``[out, in]``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TalkerConfig
+from ..ops.norms import rms_norm, silu
+from ..ops.rope import apply_rotary, mrope_cos_sin
+
+Params = dict[str, Any]
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache. k/v: [L, B, H_kv, T_max, D]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+
+def make_cache(
+    cfg: TalkerConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> KVCache:
+    shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (synthetic weights for tests / benchmarks)
+# ---------------------------------------------------------------------------
+
+
+def _linear(key, d_in, d_out, dtype, bias=False, scale=None):
+    scale = scale if scale is not None else 1.0 / np.sqrt(d_in)
+    p = {"w": (jax.random.normal(key, (d_in, d_out), jnp.float32) * scale).astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def init_talker_params(key, cfg: TalkerConfig, dtype=jnp.bfloat16) -> Params:
+    """Random Talker parameters at the configured shapes (stacked layers)."""
+    keys = jax.random.split(key, 16)
+    L = cfg.num_hidden_layers
+    h, hd = cfg.hidden_size, cfg.head_dim
+    nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    inter = max(
+        cfg.layer_intermediate_size(i) for i in range(L)
+    )
+
+    def stack(fn):
+        return jax.vmap(fn)(jax.random.split(keys[0], L))
+
+    layers = {
+        "q_proj": stack(lambda k: _linear(k, h, nq * hd, dtype)["w"]),
+        "k_proj": stack(lambda k: _linear(k, h, nkv * hd, dtype)["w"]),
+        "v_proj": stack(lambda k: _linear(k, h, nkv * hd, dtype)["w"]),
+        "o_proj": stack(lambda k: _linear(k, nq * hd, h, dtype)["w"]),
+        "q_norm": jnp.ones((L, hd), dtype),
+        "k_norm": jnp.ones((L, hd), dtype),
+        "gate_proj": stack(lambda k: _linear(k, h, inter, dtype)["w"]),
+        "up_proj": stack(lambda k: _linear(k, h, inter, dtype)["w"]),
+        "down_proj": stack(lambda k: _linear(k, inter, h, dtype)["w"]),
+        "input_layernorm": jnp.ones((L, h), dtype),
+        "post_attention_layernorm": jnp.ones((L, h), dtype),
+    }
+    params = {
+        "codec_embedding": jax.random.normal(keys[1], (cfg.vocab_size, h), jnp.float32)
+        .astype(dtype)
+        * 0.02,
+        "text_embedding": jax.random.normal(
+            keys[2], (cfg.text_vocab_size, cfg.text_hidden_size), jnp.float32
+        ).astype(dtype)
+        * 0.02,
+        "layers": layers,
+        "norm": jnp.ones((h,), dtype),
+        "text_projection": {
+            "fc1": _linear(keys[3], cfg.text_hidden_size, cfg.text_hidden_size, dtype, bias=True),
+            "fc2": _linear(keys[4], cfg.text_hidden_size, h, dtype, bias=True),
+        },
+        "codec_head": _linear(keys[5], h, cfg.vocab_size, dtype)["w"],
+    }
+    if cfg.per_layer_intermediate_sizes is not None:
+        # zero out the pruned tail of each layer's MLP
+        mask = np.zeros((L, inter), dtype=bool)
+        for i, sz in enumerate(cfg.per_layer_intermediate_sizes):
+            mask[i, :sz] = True
+        m = jnp.asarray(mask)
+        layers["gate_proj"] = jnp.where(m[:, None, :], layers["gate_proj"], 0)
+        layers["up_proj"] = jnp.where(m[:, None, :], layers["up_proj"], 0)
+        layers["down_proj"] = jnp.where(m[:, :, None], layers["down_proj"], 0)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _dense(x, w):
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+def resize_mlp(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Text projection MLP: fc2(silu(fc1(x))) (reference Talker.swift:475-487)."""
+    h = _dense(x, params["fc1"]["w"]) + params["fc1"]["b"]
+    h = silu(h)
+    return _dense(h, params["fc2"]["w"]) + params["fc2"]["b"]
+
+
+def embed_text(params: Params, cfg: TalkerConfig, ids: jnp.ndarray) -> jnp.ndarray:
+    """Token-map-aware text embedding lookup (reference Talker.swift:627-633)."""
+    token_map = params.get("text_token_map")
+    if token_map is not None:
+        ids = token_map[ids]
+    return params["text_embedding"][ids]
+
+
+def embed_codec(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    return params["codec_embedding"][ids]
+
+
+def _attend(q, k, v, mask, scale):
+    """GQA attention. q: [B, Hq, S, D], k/v: [B, Hkv, T, D], mask: [B, S, T]."""
+    B, Hq, S, D = q.shape
+    Hkv = k.shape[1]
+    group = Hq // Hkv
+    qg = q.reshape(B, Hkv, group, S, D)
+    scores = jnp.einsum(
+        "bhgsd,bhtd->bhgst", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+    scores = jnp.where(mask[:, None, None], scores, NEG_INF_F32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgst,bhtd->bhgsd", probs, v, preferred_element_type=jnp.float32)
+    return out.reshape(B, Hq, S, D).astype(q.dtype)
+
+
+NEG_INF_F32 = jnp.float32(-1e30)
+
+
+def forward(
+    params: Params,
+    cfg: TalkerConfig,
+    inputs_embeds: jnp.ndarray,  # [B, S, h]
+    cache: KVCache,
+    offset: jnp.ndarray,  # scalar int32: number of valid cache entries
+    *,
+    seq_len: jnp.ndarray | None = None,  # scalar: valid tokens in this block
+):
+    """Run the talker trunk, updating the KV cache in place.
+
+    Works for both prefill (S > 1, right-padded to a bucket; ``seq_len`` is
+    the number of real tokens) and single-token decode (S == 1). Returns
+    (hidden [B, S, h], new_cache).
+    """
+    B, S, _ = inputs_embeds.shape
+    T_max = cache.max_len
+    if seq_len is None:
+        seq_len = jnp.int32(S)
+
+    positions = offset + jnp.arange(S, dtype=jnp.int32)[None]  # [B==1 broadcast, S]
+    positions = jnp.broadcast_to(positions, (B, S))
+    cos, sin = mrope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta, cfg.mrope_section, inputs_embeds.dtype
+    )
+
+    # mask[b, s, t]: query at global pos offset+s may attend cache slot t
+    t_idx = jnp.arange(T_max, dtype=jnp.int32)
+    q_pos = offset + jnp.arange(S, dtype=jnp.int32)
+    mask = t_idx[None, :] <= q_pos[:, None]  # causal over the whole cache
+    mask = jnp.broadcast_to(mask[None], (B, S, T_max))
+
+    scale = cfg.head_dim**-0.5
+    nq, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+
+    def layer_fn(h, xs):
+        p, k_cache, v_cache = xs
+        x = rms_norm(h, p["input_layernorm"], eps)
+        q = _dense(x, p["q_proj"]).reshape(B, S, nq, hd)
+        k = _dense(x, p["k_proj"]).reshape(B, S, nkv, hd)
+        v = _dense(x, p["v_proj"]).reshape(B, S, nkv, hd)
+        q = rms_norm(q, p["q_norm"], eps)
+        k = rms_norm(k, p["k_norm"], eps)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        q, k = apply_rotary(q, k, cos, sin)
+
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, offset, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, offset, 0))
+
+        attn = _attend(q, k_cache, v_cache, mask, scale)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nq * hd)
+        h = h + _dense(attn, p["o_proj"])
+
+        x = rms_norm(h, p["post_attention_layernorm"], eps)
+        gated = silu(_dense(x, p["gate_proj"])) * _dense(x, p["up_proj"])
+        h = h + _dense(gated, p["down_proj"])
+        return h, (k_cache, v_cache)
+
+    h, (new_k, new_v) = jax.lax.scan(
+        layer_fn, inputs_embeds, (params["layers"], cache.k, cache.v)
+    )
+    h = rms_norm(h, params["norm"], eps)
+    return h, KVCache(new_k, new_v)
+
+
+def codec_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """First-codebook logits [B, S, vocab] in float32 for the sampler."""
+    return jax.lax.dot_general(
+        hidden, params["codec_head"], (((hidden.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )

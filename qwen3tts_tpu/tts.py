@@ -1,0 +1,706 @@
+"""Public Qwen3-TTS API: the TPU-native equivalent of the reference's
+``Qwen3TTSModel`` (reference: Sources/Qwen3TTS/Models/Qwen3.swift:30-1373).
+
+Surface parity:
+  Qwen3TTSModel.from_pretrained(path)          (fromPretrained)
+  .generate(text, speaker=, instruct=, ...)    (generate - routes by model type)
+  .generate_voice_design / .generate_custom_voice
+  .generate_voice_clone(text, reference_audio, reference_text, ...)
+  .generate_stream(...)                        (generateStream - yields
+                                                TokenEvent*, InfoEvent, AudioEvent)
+
+Design departures (TPU-first, see SURVEY.md §7): prompt construction happens
+host-side once per call, everything else (prefill, AR loop, code predictor,
+sampling, vocoder) runs as a handful of jit-compiled programs with static
+bucketed shapes; the host never syncs inside the decode loop.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelConfig, TalkerConfig
+from .models import code_predictor as cp_mod
+from .models import encoder as enc_mod
+from .models import generate as gen_mod
+from .models import speaker_encoder as spk_mod
+from .models import talker as tk_mod
+from .models import vocoder as vc_mod
+from .models.generate import SamplingConfig, pad_to_bucket
+
+CHAT_ASSISTANT = "<|im_start|>assistant\n{}<|im_end|>\n<|im_start|>assistant\n"
+CHAT_ASSISTANT_CLOSED = "<|im_start|>assistant\n{}<|im_end|>\n"
+CHAT_USER = "<|im_start|>user\n{}<|im_end|>\n"
+
+GEN_BUCKETS = (128, 256, 512, 1024, 2048)
+
+
+class Qwen3TTSError(Exception):
+    """Generation errors (reference Core/GenerationTypes.swift:63-84)."""
+
+
+@dataclass
+class GenerationInfo:
+    """reference AudioGenerationInfo (Core/GenerationTypes.swift:15-46)."""
+
+    prompt_token_count: int
+    generation_token_count: int
+    prefill_time: float
+    generate_time: float
+    tokens_per_second: float
+    peak_memory_usage: float  # GB
+
+    @property
+    def summary(self) -> str:
+        return (
+            f"Prompt:     {self.prompt_token_count} tokens, {self.prefill_time:.3f}s\n"
+            f"Generation: {self.generation_token_count} tokens, "
+            f"{self.tokens_per_second:.2f} tokens/s, {self.generate_time:.3f}s\n"
+            f"Peak Memory Usage: {self.peak_memory_usage:.3f} GB"
+        )
+
+
+@dataclass
+class TokenEvent:
+    token: int
+
+
+@dataclass
+class InfoEvent:
+    info: GenerationInfo
+
+
+@dataclass
+class AudioEvent:
+    audio: np.ndarray
+
+
+def _device_peak_memory_gb() -> float:
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return (stats or {}).get("peak_bytes_in_use", 0) / 1e9
+    except Exception:
+        return 0.0
+
+
+class Qwen3TTSModel:
+    """Loaded model bundle + synthesis entry points."""
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        talker_params,
+        cp_params,
+        vocoder_params=None,
+        tokenizer_config=None,
+        encoder_params=None,
+        speaker_encoder_params=None,
+        tokenizer=None,
+        dtype=jnp.bfloat16,
+    ):
+        if config.talker_config is None:
+            raise Qwen3TTSError("Talker config is required")
+        self.config = config
+        self.talker_cfg: TalkerConfig = config.talker_config
+        self.cp_cfg = self.talker_cfg.code_predictor_config
+        self.talker_params = talker_params
+        self.cp_params = cp_params
+        self.vocoder_params = vocoder_params
+        self.tokenizer_config = tokenizer_config
+        self.encoder_params = encoder_params
+        self.speaker_encoder_params = speaker_encoder_params
+        self.tokenizer = tokenizer
+        self.dtype = dtype
+        # streaming chunk size (frames per device round-trip); 25 = 2 s audio
+        self.stream_chunk_frames = 25
+
+    # ------------------------------------------------------------------
+    # Loading
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, model_path: str, dtype=jnp.bfloat16) -> "Qwen3TTSModel":
+        """Load config.json + safetensors (+ speech_tokenizer/, tokenizer)
+        from a local directory (reference Qwen3.swift:1382-1495)."""
+        from .utils.loader import Checkpoint
+
+        ckpt = Checkpoint(model_path, dtype)
+        tokenizer = None
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(model_path)
+        except Exception:
+            pass
+        return cls(
+            config=ckpt.config,
+            talker_params=ckpt.talker_params,
+            cp_params=ckpt.cp_params,
+            vocoder_params=ckpt.vocoder_params,
+            tokenizer_config=ckpt.tokenizer_config,
+            encoder_params=ckpt.encoder_params,
+            speaker_encoder_params=ckpt.speaker_encoder_params,
+            tokenizer=tokenizer,
+            dtype=dtype,
+        )
+
+    # ------------------------------------------------------------------
+    # Introspection (reference Qwen3.swift:964-971, 1205-1214, 1262-1271)
+    # ------------------------------------------------------------------
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.sample_rate
+
+    @property
+    def tts_model_type(self) -> str:
+        return self.config.tts_model_type
+
+    @property
+    def supported_speakers(self) -> list[str]:
+        return sorted(self.talker_cfg.speaker_ids)
+
+    @property
+    def has_voice_cloning(self) -> bool:
+        return self.speaker_encoder_params is not None
+
+    @property
+    def supports_voice_cloning(self) -> bool:
+        return self.config.tts_model_type == "base" and self.encoder_params is not None
+
+    # ------------------------------------------------------------------
+    # Prompt construction (reference Qwen3.swift:259-409)
+    # ------------------------------------------------------------------
+
+    def _encode_text(self, text: str) -> jnp.ndarray:
+        if self.tokenizer is None:
+            raise Qwen3TTSError("Tokenizer not loaded")
+        ids = self.tokenizer.encode(text)
+        return jnp.asarray(ids, jnp.int32)[None]
+
+    def _embed_project(self, ids: jnp.ndarray) -> jnp.ndarray:
+        raw = tk_mod.embed_text(self.talker_params, self.talker_cfg, ids)
+        return tk_mod.resize_mlp(self.talker_params["text_projection"], raw)
+
+    def _tts_special_embeds(self):
+        ids = jnp.asarray(
+            [
+                [
+                    self.config.tts_bos_token_id,
+                    self.config.tts_eos_token_id,
+                    self.config.tts_pad_token_id,
+                ]
+            ],
+            jnp.int32,
+        )
+        e = self._embed_project(ids)
+        return e[:, 0:1], e[:, 1:2], e[:, 2:3]  # bos, eos, pad each [1,1,h]
+
+    def _resolve_language_id(self, language: str, speaker: str | None) -> int | None:
+        cfg = self.talker_cfg
+        lang = language.lower()
+        language_id = cfg.language_ids.get(lang) if lang != "auto" else None
+        # dialect override (e.g. Eric -> sichuan_dialect, Qwen3.swift:311-319)
+        if lang in ("chinese", "auto") and speaker:
+            dialect = cfg.speaker_dialects.get(speaker.lower())
+            if dialect and dialect in cfg.language_ids:
+                language_id = cfg.language_ids[dialect]
+        return language_id
+
+    def _codec_prefix_ids(self, language_id: int | None) -> list[int]:
+        cfg = self.talker_cfg
+        if language_id is None:
+            return [cfg.codec_nothink_id, cfg.codec_think_bos_id, cfg.codec_think_eos_id]
+        return [
+            cfg.codec_think_id,
+            cfg.codec_think_bos_id,
+            language_id,
+            cfg.codec_think_eos_id,
+        ]
+
+    def _build_codec_prefix(
+        self, language_id: int | None, speaker_embed: jnp.ndarray | None
+    ) -> jnp.ndarray:
+        """[think-prefix ..., (speaker,) pad, bos] codec-side embeddings."""
+        cfg = self.talker_cfg
+        emb = tk_mod.embed_codec(
+            self.talker_params, jnp.asarray([self._codec_prefix_ids(language_id)], jnp.int32)
+        )
+        suffix = tk_mod.embed_codec(
+            self.talker_params,
+            jnp.asarray([[cfg.codec_pad_id, cfg.codec_bos_id]], jnp.int32),
+        )
+        parts = [emb]
+        if speaker_embed is not None:
+            parts.append(speaker_embed.reshape(1, 1, -1).astype(emb.dtype))
+        parts.append(suffix)
+        return jnp.concatenate(parts, axis=1)
+
+    def _prepare_generation_inputs(
+        self,
+        text: str,
+        language: str = "auto",
+        speaker: str | None = None,
+        instruct: str | None = None,
+        speaker_embed: jnp.ndarray | None = None,
+    ):
+        """Non-ICL prefill construction (reference Qwen3.swift:259-409).
+
+        Returns (input_embeds [1,P,h], trailing [T,h], tts_pad [h]).
+        """
+        cfg = self.talker_cfg
+        text_ids = self._encode_text(CHAT_ASSISTANT.format(text))
+        text_embed = self._embed_project(text_ids)
+        tts_bos, tts_eos, tts_pad = self._tts_special_embeds()
+
+        if speaker_embed is None and speaker is not None:
+            spk_token = cfg.speaker_ids.get(speaker.lower())
+            if spk_token is not None:
+                speaker_embed = tk_mod.embed_codec(
+                    self.talker_params, jnp.asarray([spk_token], jnp.int32)
+                )
+
+        language_id = self._resolve_language_id(language, speaker)
+        codec_embed = self._build_codec_prefix(language_id, speaker_embed)
+        codec_len = codec_embed.shape[1]
+
+        instruct_embed = None
+        if instruct:
+            instruct_embed = self._embed_project(
+                self._encode_text(CHAT_USER.format(instruct))
+            )
+
+        role_embed = text_embed[:, 0:3]
+        # tts_pad * (codec_len - 2) + tts_bos, overlaid on codec prefix[:-1]
+        pad_count = codec_len - 2
+        combined = jnp.concatenate(
+            [jnp.broadcast_to(tts_pad, (1, pad_count, tts_pad.shape[-1])), tts_bos], axis=1
+        )
+        combined = combined + codec_embed[:, : codec_len - 1]
+
+        parts = [instruct_embed] if instruct_embed is not None else []
+        parts += [role_embed, combined]
+        # first text token + codec bos (Qwen3.swift:390-391)
+        first_text = text_embed[:, 3:4] + codec_embed[:, codec_len - 1 :]
+        parts.append(first_text)
+        input_embeds = jnp.concatenate(parts, axis=1)
+
+        # trailing text stream: tokens[4 : len-5] + tts_eos (Qwen3.swift:393-408)
+        text_len = text_embed.shape[1]
+        if text_len - 5 > 4:
+            trailing = jnp.concatenate([text_embed[:, 4 : text_len - 5], tts_eos], axis=1)
+        else:
+            trailing = tts_eos
+        return input_embeds, trailing[0], tts_pad[0, 0]
+
+    def _prepare_icl_generation_inputs(
+        self, text: str, ref_audio: np.ndarray, ref_text: str, language: str = "auto"
+    ):
+        """ICL (voice-clone) prefill (reference Qwen3.swift:418-582).
+
+        Returns (input_embeds, trailing [1,h], tts_pad [h], ref_codes [1,16,T]).
+        """
+        cfg = self.talker_cfg
+        if self.encoder_params is None or self.tokenizer_config is None:
+            raise Qwen3TTSError("Speech tokenizer encoder not available")
+        enc_cfg = self.tokenizer_config.encoder_config
+        audio = jnp.asarray(np.asarray(ref_audio, np.float32))[None]
+        ref_codes = enc_mod.encode(
+            self.encoder_params,
+            enc_cfg,
+            audio,
+            self.tokenizer_config.encoder_valid_num_quantizers,
+        )  # [1, 16, T]
+
+        ref_ids = self._encode_text(CHAT_ASSISTANT_CLOSED.format(ref_text))
+        ref_text_ids = ref_ids[:, 3 : ref_ids.shape[1] - 2]
+        target_ids = self._encode_text(CHAT_ASSISTANT.format(text))
+        text_ids = target_ids[:, 3 : target_ids.shape[1] - 5]
+
+        tts_bos, tts_eos, tts_pad = self._tts_special_embeds()
+
+        combined_ids = jnp.concatenate([ref_text_ids, text_ids], axis=1)
+        text_embed = jnp.concatenate([self._embed_project(combined_ids), tts_eos], axis=1)
+        text_lens = text_embed.shape[1]
+
+        # codec side: codec_bos + summed 16-codebook embeddings of ref codes
+        first_cb = ref_codes[:, 0]
+        ref_codec = tk_mod.embed_codec(self.talker_params, first_cb)
+        for i in range(cfg.num_code_groups - 1):
+            ref_codec = ref_codec + self.cp_params["codec_embedding"][i][ref_codes[:, i + 1]]
+        codec_bos = tk_mod.embed_codec(
+            self.talker_params, jnp.asarray([[cfg.codec_bos_id]], jnp.int32)
+        )
+        codec_icl = jnp.concatenate([codec_bos, ref_codec.astype(codec_bos.dtype)], axis=1)
+        codec_lens = codec_icl.shape[1]
+
+        # non-streaming overlay: text+codec_pad || codec+tts_pad
+        codec_pad = tk_mod.embed_codec(
+            self.talker_params, jnp.asarray([[cfg.codec_pad_id]], jnp.int32)
+        )
+        text_part = text_embed + jnp.broadcast_to(codec_pad, (1, text_lens, codec_pad.shape[-1]))
+        codec_part = codec_icl + jnp.broadcast_to(tts_pad, (1, codec_lens, tts_pad.shape[-1]))
+        icl_embed = jnp.concatenate([text_part, codec_part], axis=1)
+
+        language_id = self._resolve_language_id(language, None)
+
+        speaker_embed = None
+        if self.speaker_encoder_params is not None:
+            speaker_embed = spk_mod.extract_embedding(
+                self.speaker_encoder_params,
+                self.config.speaker_encoder_config,
+                jnp.asarray(np.asarray(ref_audio, np.float32)),
+            )
+
+        codec_prefix = self._build_codec_prefix(language_id, speaker_embed)
+        prefix_len = codec_prefix.shape[1]
+        role_embed = self._embed_project(target_ids[:, 0:3])
+        pad_count = prefix_len - 2
+        combined_prefix = jnp.concatenate(
+            [jnp.broadcast_to(tts_pad, (1, pad_count, tts_pad.shape[-1])), tts_bos], axis=1
+        )
+        combined_prefix = combined_prefix + codec_prefix[:, : prefix_len - 1]
+
+        input_embeds = jnp.concatenate([role_embed, combined_prefix, icl_embed], axis=1)
+        return input_embeds, tts_pad[0], tts_pad[0, 0], ref_codes
+
+    # ------------------------------------------------------------------
+    # Core synthesis driver
+    # ------------------------------------------------------------------
+
+    def _effective_max_tokens(self, text: str, max_tokens: int) -> int:
+        """min(max_tokens, max(75, 6*text_tokens)) (Qwen3.swift:615-616)."""
+        n = len(self.tokenizer.encode(text)) if self.tokenizer else len(text)
+        return min(max_tokens, max(75, n * 6))
+
+    def _run_generation(
+        self,
+        input_embeds: jnp.ndarray,
+        trailing: jnp.ndarray,
+        tts_pad: jnp.ndarray,
+        *,
+        sampling: SamplingConfig,
+        max_steps: int,
+        seed: int,
+        on_token: Callable[[int], None] | None = None,
+    ) -> tuple[np.ndarray, int]:
+        """Bucketed prefill + fused decode; returns (codes [n,16], n_frames)."""
+        if self.cp_params is None or self.cp_cfg is None:
+            raise Qwen3TTSError("Code predictor not available")
+        p_len = input_embeds.shape[1]
+        p_bucket = pad_to_bucket(p_len)
+        prefill = jnp.pad(
+            input_embeds.astype(self.dtype), ((0, 0), (0, p_bucket - p_len), (0, 0))
+        )
+        max_frames = pad_to_bucket(max_steps, GEN_BUCKETS)
+        # trailing buffer padded to a bucket as well (shape stability)
+        t_len = trailing.shape[0]
+        t_bucket = pad_to_bucket(t_len)
+        trailing_p = jnp.pad(trailing.astype(self.dtype), ((0, t_bucket - t_len), (0, 0)))
+        cache = tk_mod.make_cache(
+            self.talker_cfg, 1, p_bucket + max_frames, self.dtype
+        )
+        common = dict(
+            talker_cfg=self.talker_cfg,
+            cp_cfg=self.cp_cfg,
+            sampling=sampling,
+        )
+        key = jax.random.PRNGKey(seed)
+        carry = gen_mod.prefill_start(
+            self.talker_params,
+            self.cp_params,
+            prefill_embeds=prefill,
+            prefill_len=jnp.int32(p_len),
+            trailing_embeds=trailing_p,
+            trailing_len=jnp.int32(t_len),
+            tts_pad_embed=tts_pad.astype(self.dtype),
+            cache=cache,
+            max_frames=max_frames,
+            key=key,
+            **common,
+        )
+        chunk = self.stream_chunk_frames if on_token else max_frames
+        emitted = 0
+        while True:
+            if on_token:
+                tokens = np.asarray(carry.tokens[: int(carry.step)])
+                for t in tokens[emitted:]:
+                    if t >= 0:
+                        on_token(int(t))
+                emitted = len(tokens)
+            if bool(carry.eos) or int(carry.step) >= max_steps:
+                break
+            carry = gen_mod.generate_chunk(
+                self.talker_params,
+                self.cp_params,
+                carry,
+                trailing_embeds=trailing_p,
+                trailing_len=jnp.int32(t_len),
+                tts_pad_embed=tts_pad.astype(self.dtype),
+                until_step=jnp.int32(min(int(carry.step) + chunk, max_steps)),
+                **common,
+            )
+        n = int(carry.step)
+        if n == 0:
+            raise Qwen3TTSError("No tokens generated")
+        return np.asarray(carry.codes), n
+
+    def _decode_audio(self, codes: np.ndarray, n_frames: int) -> np.ndarray:
+        """Bucketed vocoder decode + validity trim (Qwen3.swift:744-754)."""
+        if self.vocoder_params is None or self.tokenizer_config is None:
+            raise Qwen3TTSError("Speech tokenizer not loaded")
+        dec_cfg = self.tokenizer_config.decoder_config
+        t_bucket = pad_to_bucket(n_frames, GEN_BUCKETS)
+        buf = np.zeros((1, t_bucket, dec_cfg.num_quantizers), np.int32)
+        buf[0, : min(n_frames, codes.shape[0])] = codes[:n_frames]
+        wav, lengths = vc_mod.decode(
+            self.vocoder_params, dec_cfg, jnp.asarray(buf), jnp.int32(n_frames)
+        )
+        valid = int(lengths[0])
+        out = np.asarray(wav[0][: n_frames * dec_cfg.total_upsample])
+        if 0 < valid < out.shape[0]:
+            out = out[:valid]
+        return out
+
+    # ------------------------------------------------------------------
+    # Public generation entry points
+    # ------------------------------------------------------------------
+
+    def generate_voice_design(
+        self,
+        text: str,
+        language: str = "auto",
+        instruct: str | None = None,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        repetition_penalty: float = 1.05,
+        max_tokens: int = 2048,
+        seed: int = 0,
+        on_token: Callable[[int], None] | None = None,
+    ) -> np.ndarray:
+        """VoiceDesign synthesis (reference Qwen3.swift:587-755)."""
+        embeds, trailing, pad = self._prepare_generation_inputs(
+            text, language=language, speaker=None, instruct=instruct
+        )
+        codes, n = self._run_generation(
+            embeds,
+            trailing,
+            pad,
+            sampling=SamplingConfig(temperature, top_k, top_p, repetition_penalty),
+            max_steps=self._effective_max_tokens(text, max_tokens),
+            seed=seed,
+            on_token=on_token,
+        )
+        return self._decode_audio(codes, n)
+
+    def generate_custom_voice(
+        self,
+        text: str,
+        speaker: str,
+        language: str = "auto",
+        instruct: str | None = None,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        repetition_penalty: float = 1.05,
+        max_tokens: int = 2048,
+        seed: int = 0,
+        on_token: Callable[[int], None] | None = None,
+    ) -> np.ndarray:
+        """CustomVoice/Base synthesis (reference Qwen3.swift:783-962)."""
+        speakers = self.talker_cfg.speaker_ids
+        if not speakers:
+            raise Qwen3TTSError(
+                "This model does not support CustomVoice. No speakers defined."
+            )
+        if speaker.lower() not in speakers:
+            raise Qwen3TTSError(
+                f"Speaker '{speaker}' not found. Available speakers: "
+                + ", ".join(sorted(speakers))
+            )
+        embeds, trailing, pad = self._prepare_generation_inputs(
+            text, language=language, speaker=speaker, instruct=instruct
+        )
+        codes, n = self._run_generation(
+            embeds,
+            trailing,
+            pad,
+            sampling=SamplingConfig(temperature, top_k, top_p, repetition_penalty),
+            max_steps=self._effective_max_tokens(text, max_tokens),
+            seed=seed,
+            on_token=on_token,
+        )
+        return self._decode_audio(codes, n)
+
+    def generate_voice_clone(
+        self,
+        text: str,
+        reference_audio: np.ndarray,
+        reference_text: str,
+        language: str = "auto",
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        repetition_penalty: float = 1.5,
+        max_tokens: int = 2048,
+        seed: int = 0,
+        on_token: Callable[[int], None] | None = None,
+    ) -> np.ndarray:
+        """ICL voice cloning (reference Qwen3.swift:1009-1203)."""
+        if self.vocoder_params is None:
+            raise Qwen3TTSError("Speech tokenizer not loaded")
+        if self.encoder_params is None:
+            raise Qwen3TTSError(
+                "Voice cloning (ICL mode) requires the speech tokenizer encoder. "
+                "Make sure to load a model with encoder weights."
+            )
+        embeds, trailing, pad, ref_codes = self._prepare_icl_generation_inputs(
+            text, reference_audio, reference_text, language
+        )
+        codes, n = self._run_generation(
+            embeds,
+            trailing,
+            pad,
+            sampling=SamplingConfig(temperature, top_k, top_p, repetition_penalty),
+            max_steps=self._effective_max_tokens(text, max_tokens),
+            seed=seed,
+            on_token=on_token,
+        )
+        # prepend reference codes for vocoder context, then proportional trim
+        # (reference Qwen3.swift:1171-1199)
+        ref = np.asarray(ref_codes[0]).T  # [T_ref, 16]
+        full = np.concatenate([ref, codes[:n]], axis=0)
+        ref_len, total_len = ref.shape[0], full.shape[0]
+        audio = self._decode_audio(full, total_len)
+        cut = int(ref_len / max(total_len, 1) * audio.shape[0])
+        if 0 < cut < audio.shape[0]:
+            audio = audio[cut:]
+        return audio
+
+    def generate(
+        self,
+        text: str,
+        speaker: str | None = None,
+        instruct: str | None = None,
+        language: str = "auto",
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        repetition_penalty: float = 1.05,
+        max_tokens: int = 2048,
+        seed: int = 0,
+        on_token: Callable[[int], None] | None = None,
+    ) -> np.ndarray:
+        """Route by model type (reference Qwen3.swift:1291-1373)."""
+        kwargs = dict(
+            language=language,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            repetition_penalty=repetition_penalty,
+            max_tokens=max_tokens,
+            seed=seed,
+            on_token=on_token,
+        )
+        mode = self.config.tts_model_type
+        if mode == "voice_design":
+            if instruct is None:
+                raise Qwen3TTSError(
+                    "VoiceDesign model requires 'instruct' to describe the voice "
+                    "(e.g., 'A cheerful young female voice with high pitch')"
+                )
+            return self.generate_voice_design(text, instruct=instruct, **kwargs)
+        if mode == "custom_voice":
+            if speaker is None:
+                raise Qwen3TTSError(
+                    "CustomVoice model requires 'speaker'. Available speakers: "
+                    + ", ".join(self.supported_speakers)
+                )
+            return self.generate_custom_voice(text, speaker, instruct=instruct, **kwargs)
+        if mode == "base":
+            if speaker is None:
+                raise Qwen3TTSError(
+                    "Base model requires 'speaker'. Available speakers: "
+                    + ", ".join(self.supported_speakers)
+                )
+            return self.generate_custom_voice(text, speaker, instruct=None, **kwargs)
+        return self.generate_voice_design(text, instruct=instruct, **kwargs)
+
+    def generate_stream(
+        self,
+        text: str,
+        speaker: str | None = None,
+        instruct: str | None = None,
+        language: str = "auto",
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        repetition_penalty: float = 1.05,
+        max_tokens: int = 2048,
+        seed: int = 0,
+    ) -> Iterator[TokenEvent | InfoEvent | AudioEvent]:
+        """Streaming generation (reference Qwen3+Streaming.swift:8-126).
+
+        Yields TokenEvent per first-codebook token (read back between fused
+        device chunks), then one InfoEvent, then one final AudioEvent —
+        exactly the reference event contract.
+        """
+        events: list[int] = []
+        start = time.time()
+        audio = self.generate(
+            text,
+            speaker=speaker,
+            instruct=instruct,
+            language=language,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            repetition_penalty=repetition_penalty,
+            max_tokens=max_tokens,
+            seed=seed,
+            on_token=events.append,
+        )
+        # NOTE: tokens are buffered per chunk; a generator-based relay keeps
+        # the reference's event ordering. For callback-style consumption use
+        # generate(..., on_token=...) which fires between device chunks.
+        for t in events:
+            yield TokenEvent(t)
+        total = time.time() - start
+        prompt_tokens = len(self.tokenizer.encode(text)) if self.tokenizer else 0
+        yield InfoEvent(
+            GenerationInfo(
+                prompt_token_count=prompt_tokens,
+                generation_token_count=len(events),
+                prefill_time=0.0,
+                generate_time=total,
+                tokens_per_second=len(events) / total if total > 0 else 0.0,
+                peak_memory_usage=_device_peak_memory_gb(),
+            )
+        )
+        yield AudioEvent(audio)
+
+    # ------------------------------------------------------------------
+    # Speaker embedding extraction (reference Qwen3.swift:222-249)
+    # ------------------------------------------------------------------
+
+    def extract_speaker_embedding(
+        self, audio: np.ndarray, sample_rate: int = 24000
+    ) -> jnp.ndarray:
+        if sample_rate != 24000:
+            raise Qwen3TTSError(
+                "Only 24kHz audio is supported for speaker embedding extraction"
+            )
+        if self.speaker_encoder_params is None:
+            raise Qwen3TTSError("Speaker encoder not available for this model")
+        return spk_mod.extract_embedding(
+            self.speaker_encoder_params,
+            self.config.speaker_encoder_config,
+            jnp.asarray(np.asarray(audio, np.float32)),
+        )

