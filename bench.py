@@ -1,0 +1,155 @@
+"""Benchmark: 0.6B CustomVoice-shaped synthesis RTF on one TPU chip.
+
+Mirrors the reference's headline benchmark (BASELINE.md): Qwen3-TTS-0.6B
+CustomVoice, short English sentence, temp 0.9 / top-k 50 / rep 1.05; the
+reference paper reports RTF 0.70 (generation_time / audio_duration, lower is
+better) on Apple M-series. Our north star: RTF < 0.1 on one v5e chip.
+
+Runs on synthetic weights at exact 0.6B shapes (no checkpoints in this
+environment — compute cost is identical). Prints ONE JSON line:
+  {"metric": ..., "value": RTF, "unit": "rtf", "vs_baseline": 0.70/RTF}
+(vs_baseline > 1 means faster than the reference). Auxiliary numbers
+(tokens/s, TTFT, vocoder time) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from qwen3tts_tpu.config import TokenizerDecoderConfig
+from qwen3tts_tpu.models import code_predictor as cp
+from qwen3tts_tpu.models import generate as gen
+from qwen3tts_tpu.models import talker as tk
+from qwen3tts_tpu.models import vocoder as vc
+from __graft_entry__ import _flagship_06b
+
+BASELINE_RTF = 0.70  # reference bf16 0.6B (docs/paper.tex:431)
+FRAMES = 66  # ~5.3 s of audio at 12.5 Hz (paper's mean duration, tex:452-467)
+PREFILL_LEN = 24  # "The quick brown fox..." prompt after template+codec prefix
+CODEC_RATE = 12.5
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    cfg = _flagship_06b()
+    cpc = cfg.code_predictor_config
+    vcfg = TokenizerDecoderConfig()  # full-size defaults (latent 1024, dim 1536)
+
+    t0 = time.time()
+    talker_params = tk.init_talker_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    cp_params = cp.init_code_predictor_params(
+        jax.random.PRNGKey(1), cpc, cfg.hidden_size, jnp.bfloat16
+    )
+    voc_params = vc.init_vocoder_params(jax.random.PRNGKey(2), vcfg, jnp.float32)
+    jax.block_until_ready(talker_params["layers"]["q_proj"])
+    log(f"param init: {time.time() - t0:.1f}s")
+
+    p_bucket = gen.pad_to_bucket(PREFILL_LEN)
+    max_frames = 128
+    prefill = (
+        jax.random.normal(jax.random.PRNGKey(3), (1, p_bucket, cfg.hidden_size), jnp.bfloat16)
+        * 0.05
+    )
+    trailing = (
+        jax.random.normal(jax.random.PRNGKey(4), (64, cfg.hidden_size), jnp.bfloat16) * 0.05
+    )
+    tts_pad = jnp.zeros((cfg.hidden_size,), jnp.bfloat16)
+    sampling = gen.SamplingConfig(0.9, 50, 1.0, 1.05)
+    cache_len = p_bucket + max_frames
+
+    def make_cache():
+        return tk.make_cache(cfg, 1, cache_len, jnp.bfloat16)
+
+    def run_gen(seed):
+        carry = gen.prefill_start(
+            talker_params, cp_params, talker_cfg=cfg, cp_cfg=cpc, sampling=sampling,
+            prefill_embeds=prefill, prefill_len=jnp.int32(PREFILL_LEN),
+            trailing_embeds=trailing, trailing_len=jnp.int32(12),
+            tts_pad_embed=tts_pad, cache=make_cache(), max_frames=max_frames,
+            key=jax.random.PRNGKey(seed),
+        )
+        carry = gen.generate_chunk(
+            talker_params, cp_params, carry, talker_cfg=cfg, cp_cfg=cpc,
+            sampling=sampling, trailing_embeds=trailing, trailing_len=jnp.int32(12),
+            tts_pad_embed=tts_pad, until_step=jnp.int32(FRAMES),
+        )
+        return carry
+
+    # ---- warmup / compile ----
+    t0 = time.time()
+    carry = run_gen(0)
+    jax.block_until_ready(carry.codes)
+    log(f"generation compile+first run: {time.time() - t0:.1f}s "
+        f"({int(carry.step)} frames)")
+
+    codes_buf = carry.codes[None]  # [1, 128, 16]
+    t0 = time.time()
+    wav, lengths = vc.decode(voc_params, vcfg, codes_buf, jnp.int32(FRAMES))
+    jax.block_until_ready(wav)
+    log(f"vocoder compile+first run: {time.time() - t0:.1f}s")
+
+    # ---- TTFT (prefill + first frame, steady state) ----
+    t0 = time.time()
+    c1 = gen.prefill_start(
+        talker_params, cp_params, talker_cfg=cfg, cp_cfg=cpc, sampling=sampling,
+        prefill_embeds=prefill, prefill_len=jnp.int32(PREFILL_LEN),
+        trailing_embeds=trailing, trailing_len=jnp.int32(12),
+        tts_pad_embed=tts_pad, cache=make_cache(), max_frames=max_frames,
+        key=jax.random.PRNGKey(5),
+    )
+    jax.block_until_ready(c1.tokens)
+    ttft = time.time() - t0
+    log(f"TTFT (prefill + 1 frame): {ttft * 1000:.1f}ms")
+
+    # ---- timed runs ----
+    n_runs = 3
+    gen_times, voc_times, frames_done = [], [], []
+    for i in range(n_runs):
+        t0 = time.time()
+        c = run_gen(10 + i)
+        jax.block_until_ready(c.codes)
+        gen_times.append(time.time() - t0)
+        frames_done.append(int(c.step))
+        t0 = time.time()
+        wav, lengths = vc.decode(voc_params, vcfg, c.codes[None], jnp.int32(FRAMES))
+        jax.block_until_ready(wav)
+        voc_times.append(time.time() - t0)
+
+    frames = min(frames_done)
+    gen_t = sum(gen_times) / n_runs
+    voc_t = sum(voc_times) / n_runs
+    audio_s = frames / CODEC_RATE
+    rtf = (gen_t + voc_t) / audio_s
+    frames_per_s = frames / gen_t
+    codec_tokens_per_s = frames_per_s * 16
+
+    log(f"frames: {frames}, gen {gen_t:.3f}s ({frames_per_s:.1f} frames/s, "
+        f"{codec_tokens_per_s:.0f} codec tok/s), vocoder {voc_t:.3f}s")
+    log(f"audio {audio_s:.2f}s  RTF {rtf:.4f}  (baseline {BASELINE_RTF})")
+
+    print(
+        json.dumps(
+            {
+                "metric": "rtf_0.6b_customvoice_66frames_v5e",
+                "value": round(rtf, 4),
+                "unit": "rtf_gen_time_over_audio_duration",
+                "vs_baseline": round(BASELINE_RTF / rtf, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -236,6 +236,46 @@ def forward(
     return h, KVCache(new_k, new_v)
 
 
+def activation_stats(params: Params, cfg: TalkerConfig, inputs_embeds: jnp.ndarray):
+    """Teacher-forced full-causal forward returning per-neuron FFN maxima.
+
+    Replays a generated sequence (prefill + reconstructed decode inputs) and
+    returns max |silu(gate(x)) * up(x)| over batch/time as [L, intermediate].
+    Feeds the activation profiler (see utils/profiler.py); activations are
+    identical to the AR pass because the inputs and causal masking are.
+    """
+    B, S, _ = inputs_embeds.shape
+    positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    cos, sin = mrope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta, cfg.mrope_section, inputs_embeds.dtype
+    )
+    mask = jnp.broadcast_to(jnp.tril(jnp.ones((S, S), bool))[None], (B, S, S))
+    scale = cfg.head_dim**-0.5
+    nq, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+
+    def layer_fn(h, p):
+        x = rms_norm(h, p["input_layernorm"], eps)
+        q = _dense(x, p["q_proj"]).reshape(B, S, nq, hd)
+        k = _dense(x, p["k_proj"]).reshape(B, S, nkv, hd)
+        v = _dense(x, p["v_proj"]).reshape(B, S, nkv, hd)
+        q = rms_norm(q, p["q_norm"], eps).transpose(0, 2, 1, 3)
+        k = rms_norm(k, p["k_norm"], eps).transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        q, k = apply_rotary(q, k, cos, sin)
+        attn = _attend(q, k, v, mask, scale)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nq * hd)
+        h = h + _dense(attn, p["o_proj"])
+        x = rms_norm(h, p["post_attention_layernorm"], eps)
+        gated = silu(_dense(x, p["gate_proj"])) * _dense(x, p["up_proj"])
+        act_max = jnp.max(jnp.abs(gated.astype(jnp.float32)), axis=(0, 1))
+        h = h + _dense(gated, p["down_proj"])
+        return h, act_max
+
+    _, acts = jax.lax.scan(layer_fn, inputs_embeds, params["layers"])
+    return acts  # [L, intermediate]
+
+
 def codec_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     """First-codebook logits [B, S, vocab] in float32 for the sampler."""
     return jax.lax.dot_general(

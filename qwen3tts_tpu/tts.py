@@ -119,6 +119,8 @@ class Qwen3TTSModel:
         self.dtype = dtype
         # streaming chunk size (frames per device round-trip); 25 = 2 s audio
         self.stream_chunk_frames = 25
+        # optional ActivationProfiler (utils/profiler.py); set by the CLI
+        self.activation_profiler = None
 
     # ------------------------------------------------------------------
     # Loading
@@ -449,7 +451,33 @@ class Qwen3TTSModel:
         n = int(carry.step)
         if n == 0:
             raise Qwen3TTSError("No tokens generated")
-        return np.asarray(carry.codes), n
+        codes = np.asarray(carry.codes)
+        if self.activation_profiler is not None and self.activation_profiler.is_enabled:
+            self._profile_replay(input_embeds, trailing, tts_pad, codes, n)
+        return codes, n
+
+    def _profile_replay(self, input_embeds, trailing, tts_pad, codes, n: int):
+        """Replay the generated sequence (teacher forcing) to collect
+        per-neuron FFN activation maxima (see utils/profiler.py)."""
+        if n > 1:
+            code0 = jnp.asarray(codes[: n - 1, 0], jnp.int32)
+            rest = jnp.asarray(codes[: n - 1, 1:], jnp.int32)
+            codec = cp_mod.sum_codec_embeddings(
+                self.cp_params, self.talker_params, code0, rest
+            )  # [n-1, h]
+            steps = jnp.arange(n - 1)
+            t_len = trailing.shape[0]
+            text = jnp.where(
+                (steps < t_len)[:, None],
+                trailing[jnp.minimum(steps, t_len - 1)],
+                tts_pad[None],
+            )
+            decode_inputs = (text + codec)[None].astype(self.dtype)
+            seq = jnp.concatenate([input_embeds.astype(self.dtype), decode_inputs], axis=1)
+        else:
+            seq = input_embeds.astype(self.dtype)
+        acts = tk_mod.activation_stats(self.talker_params, self.talker_cfg, seq)
+        self.activation_profiler.record(np.asarray(acts))
 
     def _decode_audio(self, codes: np.ndarray, n_frames: int) -> np.ndarray:
         """Bucketed vocoder decode + validity trim (Qwen3.swift:744-754)."""

@@ -1,0 +1,175 @@
+"""End-to-end loader + public API tests against a synthetic raw checkpoint."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from qwen3tts_tpu.tts import AudioEvent, InfoEvent, Qwen3TTSError, Qwen3TTSModel, TokenEvent
+from qwen3tts_tpu.utils.loader import Checkpoint, dequantize_mlx
+
+from synthetic_ckpt import StubTokenizer, write_checkpoint
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    return write_checkpoint(str(tmp_path_factory.mktemp("ckpt")))
+
+
+@pytest.fixture(scope="module")
+def model(ckpt_dir):
+    ckpt = Checkpoint(ckpt_dir, jnp.float32)
+    return Qwen3TTSModel(
+        config=ckpt.config,
+        talker_params=ckpt.talker_params,
+        cp_params=ckpt.cp_params,
+        vocoder_params=ckpt.vocoder_params,
+        tokenizer_config=ckpt.tokenizer_config,
+        encoder_params=ckpt.encoder_params,
+        speaker_encoder_params=ckpt.speaker_encoder_params,
+        tokenizer=StubTokenizer(),
+        dtype=jnp.float32,
+    )
+
+
+class TestLoader:
+    def test_all_components_loaded(self, ckpt_dir):
+        ckpt = Checkpoint(ckpt_dir, jnp.float32)
+        assert ckpt.talker_params is not None
+        assert ckpt.cp_params is not None
+        assert ckpt.vocoder_params is not None
+        assert ckpt.encoder_params is not None
+        assert ckpt.speaker_encoder_params is not None
+
+    def test_talker_shapes(self, ckpt_dir):
+        ckpt = Checkpoint(ckpt_dir, jnp.float32)
+        tp = ckpt.talker_params
+        cfg = ckpt.config.talker_config
+        assert tp["codec_embedding"].shape == (cfg.vocab_size, cfg.hidden_size)
+        assert tp["layers"]["q_proj"].shape == (
+            cfg.num_hidden_layers,
+            cfg.hidden_size,
+            cfg.num_attention_heads * cfg.head_dim,
+        )
+        # linear stored transposed: y = x @ w
+        assert tp["codec_head"].shape == (cfg.hidden_size, cfg.vocab_size)
+
+    def test_cp_stacked_heads(self, ckpt_dir):
+        ckpt = Checkpoint(ckpt_dir, jnp.float32)
+        cpc = ckpt.config.talker_config.code_predictor_config
+        assert ckpt.cp_params["lm_head"].shape == (15, cpc.hidden_size, cpc.vocab_size)
+        assert ckpt.cp_params["codec_embedding"].shape == (
+            15, cpc.vocab_size, ckpt.config.talker_config.hidden_size,
+        )
+        assert "small_to_mtp_projection" in ckpt.cp_params
+
+    def test_vocoder_codebooks_derived(self, ckpt_dir):
+        """embedding = embedding_sum / clamp(cluster_usage) applied at load."""
+        ckpt = Checkpoint(ckpt_dir, jnp.float32)
+        q = ckpt.vocoder_params["quantizer"]
+        assert q["rvq_first"]["codebooks"].shape == (1, 128, 8)
+        assert q["rvq_rest"]["codebooks"].shape == (15, 64, 8)
+        assert np.isfinite(np.asarray(q["rvq_first"]["codebooks"])).all()
+
+    def test_speaker_dialect_parsed(self, ckpt_dir):
+        cfg = Checkpoint(ckpt_dir, jnp.float32).config.talker_config
+        assert cfg.speaker_ids == {"aiden": 2001, "vivian": 2002, "eric": 2003}
+        assert cfg.speaker_dialects == {"eric": "sichuan_dialect"}
+
+    def test_dequantize_mlx_roundtrip(self):
+        """Pack a known int4 matrix in MLX affine layout and recover it."""
+        rs = np.random.RandomState(0)
+        O, I, g = 4, 128, 64
+        q = rs.randint(0, 16, (O, I)).astype(np.uint32)
+        scales = rs.rand(O, I // g).astype(np.float32) + 0.5
+        biases = rs.randn(O, I // g).astype(np.float32)
+        # little-endian packing: value i goes to word i//8, shift 4*(i%8)
+        packed = np.zeros((O, I // 8), np.uint32)
+        for i in range(I):
+            packed[:, i // 8] |= q[:, i] << (4 * (i % 8))
+        want = q.astype(np.float32) * np.repeat(scales, g, 1) + np.repeat(biases, g, 1)
+        got = dequantize_mlx(packed, scales, biases, bits=4, group=g)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestPublicAPI:
+    def test_generate_custom_voice(self, model):
+        audio = model.generate(
+            "Hello world this is a test", speaker="Aiden", temperature=0.0, max_tokens=8
+        )
+        assert audio.ndim == 1 and audio.shape[0] > 0
+        assert audio.shape[0] % 1920 == 0 or audio.shape[0] > 0
+        assert np.abs(audio).max() <= 1.0
+
+    def test_generate_deterministic_given_seed(self, model):
+        a1 = model.generate("Same text", speaker="Vivian", max_tokens=6, seed=3)
+        a2 = model.generate("Same text", speaker="Vivian", max_tokens=6, seed=3)
+        np.testing.assert_array_equal(a1, a2)
+
+    def test_unknown_speaker_raises(self, model):
+        with pytest.raises(Qwen3TTSError, match="not found"):
+            model.generate("hi", speaker="nobody")
+
+    def test_missing_speaker_raises(self, model):
+        with pytest.raises(Qwen3TTSError, match="requires 'speaker'"):
+            model.generate("hi")
+
+    def test_supported_speakers(self, model):
+        assert model.supported_speakers == ["aiden", "eric", "vivian"]
+
+    def test_stream_event_contract(self, model):
+        """token* -> info -> audio, exactly (reference README.md:142-156)."""
+        events = list(
+            model.generate_stream("Stream me", speaker="Aiden", max_tokens=6, seed=1)
+        )
+        kinds = [type(e).__name__ for e in events]
+        assert kinds[-1] == "AudioEvent" and kinds[-2] == "InfoEvent"
+        assert all(k == "TokenEvent" for k in kinds[:-2]) and len(kinds) >= 3
+        info = events[-2].info
+        assert info.generation_token_count == len(kinds) - 2
+        assert events[-1].audio.shape[0] > 0
+
+    def test_on_token_callback_streams_during_generate(self, model):
+        seen = []
+        model.stream_chunk_frames = 2
+        try:
+            model.generate(
+                "Callback test", speaker="Aiden", max_tokens=6, seed=2,
+                on_token=seen.append,
+            )
+        finally:
+            model.stream_chunk_frames = 25
+        assert len(seen) >= 1 and all(isinstance(t, int) for t in seen)
+
+    def test_voice_clone(self, model):
+        ref_audio = np.random.RandomState(0).randn(24000).astype(np.float32) * 0.1
+        audio = model.generate_voice_clone(
+            "Clone my voice",
+            reference_audio=ref_audio,
+            reference_text="reference transcript",
+            max_tokens=6,
+            seed=0,
+        )
+        assert audio.ndim == 1 and audio.shape[0] > 0
+
+    def test_extract_speaker_embedding(self, model):
+        audio = np.random.RandomState(1).randn(24000).astype(np.float32) * 0.1
+        xv = model.extract_speaker_embedding(audio)
+        assert xv.shape == (1, 64)
+
+    def test_extract_speaker_embedding_wrong_rate(self, model):
+        with pytest.raises(Qwen3TTSError, match="24kHz"):
+            model.extract_speaker_embedding(np.zeros(1000, np.float32), sample_rate=16000)
+
+    def test_effective_max_tokens_cap(self, model):
+        """min(max_tokens, max(75, 6*text_tokens)) (Qwen3.swift:615-616)."""
+        assert model._effective_max_tokens("one two three", 2048) == 75
+        long_text = " ".join(["word"] * 100)
+        assert model._effective_max_tokens(long_text, 2048) == 600
+        assert model._effective_max_tokens(long_text, 100) == 100
+
+    def test_from_pretrained(self, ckpt_dir):
+        m = Qwen3TTSModel.from_pretrained(ckpt_dir, dtype=jnp.float32)
+        m.tokenizer = StubTokenizer()
+        audio = m.generate("Quick check", speaker="Aiden", max_tokens=4, seed=0)
+        assert audio.shape[0] > 0

@@ -1,0 +1,117 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3tts_tpu.config import CodePredictorConfig, TalkerConfig
+from qwen3tts_tpu.models import code_predictor as cp
+from qwen3tts_tpu.models import generate as gen
+from qwen3tts_tpu.models import talker as tk
+from qwen3tts_tpu.parallel import mesh as pm
+
+# kv_heads=8 so tp can go up to 8
+TP_TALKER = TalkerConfig(
+    vocab_size=3072,
+    text_vocab_size=128,
+    hidden_size=64,
+    text_hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=16,
+    num_key_value_heads=8,
+    head_dim=8,
+    code_predictor_config=CodePredictorConfig(
+        vocab_size=2048,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=16,
+        num_key_value_heads=8,
+        head_dim=8,
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    tkp = tk.init_talker_params(jax.random.PRNGKey(0), TP_TALKER, jnp.float32)
+    cpp = cp.init_code_predictor_params(
+        jax.random.PRNGKey(1), TP_TALKER.code_predictor_config, TP_TALKER.hidden_size,
+        jnp.float32,
+    )
+    return tkp, cpp
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("tp", [2, 4, 8])
+def test_tp_forward_matches_single_device(params, tp):
+    """TP-sharded talker forward == unsharded forward (XLA collectives)."""
+    tkp, _ = params
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 6, TP_TALKER.hidden_size))
+    cache = tk.make_cache(TP_TALKER, 1, 16, jnp.float32)
+    h_ref, _ = tk.forward(tkp, TP_TALKER, x, cache, jnp.int32(0))
+
+    mesh = pm.make_mesh(jax.devices()[:tp], tp=tp)
+    tkp_s = pm.shard_talker(tkp, mesh)
+    cache_s = pm.shard_cache(tk.make_cache(TP_TALKER, 1, 16, jnp.float32), mesh)
+    with jax.set_mesh(mesh):
+        h_tp, new_cache = jax.jit(
+            lambda p, x, c: tk.forward(p, TP_TALKER, x, c, jnp.int32(0))
+        )(tkp_s, x, cache_s)
+    np.testing.assert_allclose(np.asarray(h_tp), np.asarray(h_ref), atol=2e-4)
+    # cache sharding preserved on output
+    assert new_cache.k.shape == cache.k.shape
+
+
+def test_dp_tp_mesh_generation(params):
+    """Full fused generation under a (dp=2, tp=4) mesh runs and matches
+    frame count of the single-device run."""
+    tkp, cpp = params
+    mesh = pm.make_mesh(jax.devices(), tp=4)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    h = TP_TALKER.hidden_size
+    prefill = jax.random.normal(jax.random.PRNGKey(3), (1, 8, h)) * 0.1
+    trailing = jnp.zeros((4, h))
+    sampling = gen.SamplingConfig(0.0, 0, 1.0, 1.0)
+
+    def run(tkp_, cpp_, cache):
+        return gen.generate_codes(
+            tkp_, cpp_, talker_cfg=TP_TALKER,
+            cp_cfg=TP_TALKER.code_predictor_config, sampling=sampling,
+            prefill_embeds=prefill, prefill_len=jnp.int32(8),
+            trailing_embeds=trailing, trailing_len=jnp.int32(4),
+            tts_pad_embed=jnp.zeros((h,)), cache=cache,
+            max_steps=jnp.int32(4), max_frames=8, key=jax.random.PRNGKey(0),
+        )
+
+    ref = run(tkp, cpp, tk.make_cache(TP_TALKER, 1, 32, jnp.float32))
+
+    tkp_s = pm.shard_talker(tkp, mesh)
+    cpp_s = pm.shard_cp(cpp, mesh)
+    cache_s = pm.shard_cache(tk.make_cache(TP_TALKER, 1, 32, jnp.float32), mesh)
+    with jax.set_mesh(mesh):
+        out = run(tkp_s, cpp_s, cache_s)
+    assert int(out.n_frames) == int(ref.n_frames)
+    np.testing.assert_array_equal(np.asarray(out.codes), np.asarray(ref.codes))
+
+
+def test_shard_specs_cover_all_leaves(params):
+    """Every param leaf gets a sharding spec (no silent replication gaps)."""
+    tkp, cpp = params
+    jax.tree.map(
+        lambda x, s: None,
+        tkp,
+        pm.talker_param_specs(tkp),
+        is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
+    )
+    jax.tree.map(
+        lambda x, s: None,
+        cpp,
+        pm.cp_param_specs(cpp),
+        is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
+    )
