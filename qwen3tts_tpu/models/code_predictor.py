@@ -22,7 +22,7 @@ from ..config import CodePredictorConfig
 from ..ops.norms import rms_norm, silu
 from ..ops.rope import apply_rotary, rope_cos_sin
 from ..ops.sampling import sample_token_inner
-from .talker import _attend, _dense, _linear
+from .talker import _attend, _dense, _embed, _linear
 
 Params = dict[str, Any]
 
@@ -153,9 +153,12 @@ def forward(
 
 
 def head_logits(params: Params, hidden: jnp.ndarray, head_idx) -> jnp.ndarray:
-    """LM head ``head_idx`` logits in float32. hidden: [B, h] -> [B, vocab]."""
-    w = params["lm_head"][head_idx]  # [h, vocab]
-    return jnp.einsum("bh,hv->bv", hidden, w, preferred_element_type=jnp.float32)
+    """LM head ``head_idx`` logits in float32. hidden: [B, h] -> [B, vocab].
+
+    ``lm_head`` is stacked [15, h, vocab] (or a stacked PackedLinear for
+    quantized checkpoints); head_idx may be a traced scan index.
+    """
+    return _dense(hidden.astype(jnp.float32), params["lm_head"][head_idx])
 
 
 def predict_codes(
@@ -186,7 +189,9 @@ def predict_codes(
         )
 
     # prefill: [hidden, embed(code0)]
-    code0_embed = talker_params["codec_embedding"][code0]  # [B, talker_h]
+    code0_embed = _embed(talker_params["codec_embedding"], code0).astype(
+        last_hidden.dtype
+    )  # [B, talker_h]
     x0 = jnp.stack([last_hidden, code0_embed], axis=1)  # [B, 2, talker_h]
     h, cache = forward(params, cfg, x0, cache, jnp.int32(0))
     key, k0 = jax.random.split(key)
@@ -195,7 +200,9 @@ def predict_codes(
     def step(carry, idx):
         cache, prev_code, key = carry
         key, kk = jax.random.split(key)
-        emb = params["codec_embedding"][idx - 1, prev_code]  # [B, talker_h]
+        emb = _embed(params["codec_embedding"][idx - 1], prev_code).astype(
+            last_hidden.dtype
+        )  # [B, talker_h]
         h, cache = forward(params, cfg, emb[:, None], cache, idx + 1)
         nxt = sample(head_logits(params, h[:, -1], idx), kk)
         return (cache, nxt, key), nxt
@@ -214,9 +221,9 @@ def sum_codec_embeddings(
     code0: [B], rest_codes: [B, 15] -> [B, talker_h]
     (reference Qwen3.swift:720-728).
     """
-    emb = talker_params["codec_embedding"][code0]
+    emb = _embed(talker_params["codec_embedding"], code0)
     # gather each codebook's embedding: tables [15, vocab, h], codes [B, 15]
-    per_cb = jax.vmap(lambda tbl, c: tbl[c], in_axes=(0, 1), out_axes=1)(
+    per_cb = jax.vmap(lambda tbl, c: _embed(tbl, c), in_axes=(0, 1), out_axes=1)(
         params["codec_embedding"], rest_codes
     )  # [B, 15, h]
-    return emb + per_cb.sum(axis=1)
+    return (emb + per_cb.sum(axis=1).astype(emb.dtype)).astype(emb.dtype)

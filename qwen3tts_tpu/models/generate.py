@@ -128,7 +128,7 @@ def _next_input(
         tts_pad_embed,
     )
     codec = cp.sum_codec_embeddings(cp_params, talker_params, code0, rest)  # [B, h]
-    return (text[None] + codec)[:, None]  # [B, 1, h]
+    return (text[None] + codec.astype(text.dtype))[:, None]  # [B, 1, h]
 
 
 def _record(carry_codes, carry_tokens, step, code0, rest, is_eos):

@@ -126,6 +126,27 @@ def init_talker_params(key, cfg: TalkerConfig, dtype=jnp.bfloat16) -> Params:
 
 
 def _dense(x, w):
+    """y = x @ w, where w is either a plain [in, out] array or a
+    :class:`~qwen3tts_tpu.ops.quant.PackedLinear` (int4/int8 MLX affine
+    layout kept packed).
+
+    Single-token packed matmuls use the Pallas dequant-in-matmul kernel on
+    TPU (4x less HBM traffic — the decode loop is weight-bandwidth-bound);
+    multi-token/CPU falls back to the XLA dequant path.
+    """
+    from ..ops.quant import PackedLinear, quant_matmul, quant_matmul_pallas
+
+    if isinstance(w, PackedLinear):
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        use_pallas = (
+            flat.shape[0] == 1
+            and jax.devices()[0].platform in ("tpu", "axon")
+            and (x.shape[-1] // (32 // w.bits)) % 128 == 0
+        )
+        fn = quant_matmul_pallas if use_pallas else quant_matmul
+        y = fn(flat, w.q, w.scales, w.biases, bits=w.bits, group=w.group)
+        return y.reshape(*lead, y.shape[-1]).astype(x.dtype)
     return jax.lax.dot_general(
         x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(x.dtype)
@@ -138,16 +159,24 @@ def resize_mlp(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return _dense(h, params["fc2"]["w"]) + params["fc2"]["b"]
 
 
+def _embed(table, ids: jnp.ndarray) -> jnp.ndarray:
+    from ..ops.quant import PackedLinear, embed_lookup
+
+    if isinstance(table, PackedLinear):
+        return embed_lookup(table, ids)
+    return table[ids]
+
+
 def embed_text(params: Params, cfg: TalkerConfig, ids: jnp.ndarray) -> jnp.ndarray:
     """Token-map-aware text embedding lookup (reference Talker.swift:627-633)."""
     token_map = params.get("text_token_map")
     if token_map is not None:
         ids = token_map[ids]
-    return params["text_embedding"][ids]
+    return _embed(params["text_embedding"], ids)
 
 
 def embed_codec(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
-    return params["codec_embedding"][ids]
+    return _embed(params["codec_embedding"], ids)
 
 
 def _attend(q, k, v, mask, scale):
@@ -278,7 +307,4 @@ def activation_stats(params: Params, cfg: TalkerConfig, inputs_embeds: jnp.ndarr
 
 def codec_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     """First-codebook logits [B, S, vocab] in float32 for the sampler."""
-    return jax.lax.dot_general(
-        hidden, params["codec_head"], (((hidden.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    return _dense(hidden.astype(jnp.float32), params["codec_head"])

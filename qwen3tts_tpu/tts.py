@@ -127,12 +127,17 @@ class Qwen3TTSModel:
     # ------------------------------------------------------------------
 
     @classmethod
-    def from_pretrained(cls, model_path: str, dtype=jnp.bfloat16) -> "Qwen3TTSModel":
+    def from_pretrained(
+        cls, model_path: str, dtype=jnp.bfloat16, keep_packed: bool | None = None
+    ) -> "Qwen3TTSModel":
         """Load config.json + safetensors (+ speech_tokenizer/, tokenizer)
-        from a local directory (reference Qwen3.swift:1382-1495)."""
+        from a local directory (reference Qwen3.swift:1382-1495).
+
+        ``keep_packed`` keeps int4/int8 weights packed for the Pallas
+        dequant-in-matmul decode path (default: on iff quantized)."""
         from .utils.loader import Checkpoint
 
-        ckpt = Checkpoint(model_path, dtype)
+        ckpt = Checkpoint(model_path, dtype, keep_packed=keep_packed)
         tokenizer = None
         try:
             from transformers import AutoTokenizer

@@ -119,10 +119,49 @@ def dequantize_mlx(
 class _W:
     """Weight dict view with quantization-aware fetch and usage tracking."""
 
-    def __init__(self, tensors: Mapping[str, np.ndarray], quant: QuantizationConfig | None):
+    def __init__(
+        self,
+        tensors: Mapping[str, np.ndarray],
+        quant: QuantizationConfig | None,
+        keep_packed: bool = False,
+    ):
         self.t = dict(tensors)
         self.quant = quant
+        # keep int4/int8 weights packed (PackedLinear) for the Pallas
+        # dequant-in-matmul decode path instead of widening at load
+        self.keep_packed = keep_packed
         self.used: set[str] = set()
+
+    def is_packed(self, key: str) -> bool:
+        return key + ".scales" in self.t
+
+    def packed(self, key: str):
+        """Return a PackedLinear for a quantized tensor (keeps MLX layout)."""
+        from ..ops.quant import PackedLinear
+
+        assert self.quant is not None
+        for suf in ("", ".scales", ".biases"):
+            self.used.add(key + suf)
+        return PackedLinear(
+            jnp.asarray(self.t[key]),
+            jnp.asarray(self.t[key + ".scales"]).astype(jnp.float32),
+            jnp.asarray(self.t[key + ".biases"]).astype(jnp.float32),
+            bits=self.quant.bits,
+            group=self.quant.group_size,
+        )
+
+    def linear(self, key: str, dtype):
+        """Linear weight: PackedLinear (if quantized + keep_packed) or a
+        dense [in, out] array."""
+        if self.keep_packed and self.is_packed(key):
+            return self.packed(key)
+        return _to_dtype(self.get(key).T, dtype)
+
+    def embedding(self, key: str, dtype):
+        """Embedding table: PackedLinear rows or dense [vocab, dim]."""
+        if self.keep_packed and self.is_packed(key):
+            return self.packed(key)
+        return _to_dtype(self.get(key), dtype)
 
     def has(self, key: str) -> bool:
         return key in self.t or key + ".scales" in self.t
@@ -153,8 +192,34 @@ class _W:
         return self.get(key) if self.has(key) else None
 
 
-def _stack_layers(w: _W, prefix: str, n: int, dtype, q_suffixes=()) -> Params:
+def _stack_packed(items):
+    """Stack per-layer PackedLinears on a new leading axis, zero-padding
+    ragged output/input dims (pruned MLP widths). Zero-padded regions have
+    q=0, scale=0, bias=0 -> dequantize to exactly 0."""
+    from ..ops.quant import PackedLinear
+
+    def pad_to(a, shape):
+        pads = [(0, t - s) for s, t in zip(a.shape, shape)]
+        return np.pad(np.asarray(a), pads)
+
+    qs = [np.asarray(p.q) for p in items]
+    ss = [np.asarray(p.scales) for p in items]
+    bs = [np.asarray(p.biases) for p in items]
+    q_shape = tuple(max(q.shape[d] for q in qs) for d in range(2))
+    s_shape = tuple(max(s.shape[d] for s in ss) for d in range(2))
+    return PackedLinear(
+        jnp.asarray(np.stack([pad_to(q, q_shape) for q in qs])),
+        jnp.asarray(np.stack([pad_to(s, s_shape) for s in ss])),
+        jnp.asarray(np.stack([pad_to(b, s_shape) for b in bs])),
+        bits=items[0].bits,
+        group=items[0].group,
+    )
+
+
+def _stack_layers(w: _W, prefix: str, n: int, dtype) -> Params:
     """Stack ``{prefix}.{i}.*`` transformer-layer weights on a leading axis."""
+    from ..ops.quant import PackedLinear
+
     names = {
         "q_proj": "self_attn.q_proj.weight",
         "k_proj": "self_attn.k_proj.weight",
@@ -166,7 +231,11 @@ def _stack_layers(w: _W, prefix: str, n: int, dtype, q_suffixes=()) -> Params:
     }
     out: Params = {}
     for ours, theirs in names.items():
-        mats = [w.get(f"{prefix}.{i}.{theirs}").T for i in range(n)]
+        items = [w.linear(f"{prefix}.{i}.{theirs}", dtype) for i in range(n)]
+        if isinstance(items[0], PackedLinear):
+            out[ours] = _stack_packed(items)
+            continue
+        mats = [np.asarray(m) for m in items]
         if ours in ("gate_proj", "up_proj", "down_proj"):
             # ragged per-layer MLP widths (pruned checkpoints): zero-pad
             axis = 1 if ours != "down_proj" else 0
@@ -199,24 +268,24 @@ def _stack_layers(w: _W, prefix: str, n: int, dtype, q_suffixes=()) -> Params:
 
 def load_talker(w: _W, cfg: TalkerConfig, dtype=jnp.bfloat16) -> Params:
     p = "talker.model"
+
+    def lin_b(key):
+        out = {"w": w.linear(f"{key}.weight", dtype)}
+        b = w.opt(f"{key}.bias")
+        if b is not None:
+            out["b"] = _to_dtype(b, dtype)
+        return out
+
     params: Params = {
-        "codec_embedding": _to_dtype(w.get(f"{p}.codec_embedding.weight"), dtype),
-        "text_embedding": _to_dtype(w.get(f"{p}.text_embedding.weight"), dtype),
+        "codec_embedding": w.embedding(f"{p}.codec_embedding.weight", dtype),
+        "text_embedding": w.embedding(f"{p}.text_embedding.weight", dtype),
         "layers": _stack_layers(w, f"{p}.layers", cfg.num_hidden_layers, dtype),
         "norm": _to_dtype(w.get(f"{p}.norm.weight"), dtype),
         "text_projection": {
-            "fc1": _lin(
-                w.get("talker.text_projection.linear_fc1.weight"),
-                dtype,
-                w.opt("talker.text_projection.linear_fc1.bias"),
-            ),
-            "fc2": _lin(
-                w.get("talker.text_projection.linear_fc2.weight"),
-                dtype,
-                w.opt("talker.text_projection.linear_fc2.bias"),
-            ),
+            "fc1": lin_b("talker.text_projection.linear_fc1"),
+            "fc2": lin_b("talker.text_projection.linear_fc2"),
         },
-        "codec_head": _to_dtype(w.get("talker.codec_head.weight").T, dtype),
+        "codec_head": w.linear("talker.codec_head.weight", dtype),
     }
     tmap = w.opt(f"{p}.text_token_map")
     if tmap is not None:
@@ -226,25 +295,33 @@ def load_talker(w: _W, cfg: TalkerConfig, dtype=jnp.bfloat16) -> Params:
 
 
 def load_code_predictor(w: _W, cfg: CodePredictorConfig, dtype=jnp.bfloat16) -> Params:
+    from ..ops.quant import PackedLinear
+
     p = "talker.code_predictor"
     n = cfg.num_code_groups - 1
+
+    emb_items = [w.embedding(f"{p}.model.codec_embedding.{i}.weight", dtype) for i in range(n)]
+    head_items = [w.linear(f"{p}.lm_head.{i}.weight", dtype) for i in range(n)]
     params: Params = {
-        "codec_embedding": _to_dtype(
-            np.stack([w.get(f"{p}.model.codec_embedding.{i}.weight") for i in range(n)]),
-            dtype,
+        "codec_embedding": (
+            _stack_packed(emb_items)
+            if isinstance(emb_items[0], PackedLinear)
+            else jnp.stack(emb_items)
         ),
         "layers": _stack_layers(w, f"{p}.model.layers", cfg.num_hidden_layers, dtype),
         "norm": _to_dtype(w.get(f"{p}.model.norm.weight"), dtype),
-        "lm_head": _to_dtype(
-            np.stack([w.get(f"{p}.lm_head.{i}.weight").T for i in range(n)]), dtype
+        "lm_head": (
+            _stack_packed(head_items)
+            if isinstance(head_items[0], PackedLinear)
+            else jnp.stack(head_items)
         ),
     }
     if w.has(f"{p}.small_to_mtp_projection.weight"):
-        params["small_to_mtp_projection"] = _lin(
-            w.get(f"{p}.small_to_mtp_projection.weight"),
-            dtype,
-            w.opt(f"{p}.small_to_mtp_projection.bias"),
-        )
+        out = {"w": w.linear(f"{p}.small_to_mtp_projection.weight", dtype)}
+        b = w.opt(f"{p}.small_to_mtp_projection.bias")
+        if b is not None:
+            out["b"] = _to_dtype(b, dtype)
+        params["small_to_mtp_projection"] = out
     return params
 
 
@@ -528,11 +605,15 @@ def load_encoder(w: _W, cfg: TokenizerEncoderConfig, dtype=jnp.float32) -> Param
 class Checkpoint:
     """Everything loaded from a model directory."""
 
-    def __init__(self, model_dir: str, dtype=jnp.bfloat16):
+    def __init__(self, model_dir: str, dtype=jnp.bfloat16, keep_packed: bool | None = None):
         self.model_dir = model_dir
         self.config = ModelConfig.from_json(os.path.join(model_dir, "config.json"))
         tensors = load_safetensors_dir(model_dir)
-        w = _W(tensors, self.config.quantization)
+        if keep_packed is None:
+            # default: keep int4/int8 packed whenever the checkpoint is
+            # quantized (the Pallas decode path consumes packed weights)
+            keep_packed = self.config.quantization is not None
+        w = _W(tensors, self.config.quantization, keep_packed=keep_packed)
 
         assert self.config.talker_config is not None, "config.json missing talker_config"
         self.talker_params = load_talker(w, self.config.talker_config, dtype)

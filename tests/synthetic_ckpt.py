@@ -346,13 +346,50 @@ def build_speech_tokenizer_weights(cfg: dict) -> dict[str, np.ndarray]:
     return w
 
 
-def write_checkpoint(path: str, include_speech_tokenizer: bool = True) -> str:
+def quantize_weights_mlx(
+    weights: dict[str, np.ndarray], bits: int = 4, group: int = 32
+) -> dict[str, np.ndarray]:
+    """Re-export float weights in MLX affine quantized form (weight packed
+    uint32 + .scales + .biases), quantizing every 2-D linear weight whose
+    input dim divides the group size — mirroring the reference's
+    quantize() pass (Qwen3.swift:1412-1428)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from qwen3tts_tpu.ops.quant import pack_quantized
+
+    out = {}
+    for k, v in weights.items():
+        is_linear = (
+            k.endswith(".weight")
+            and v.ndim == 2
+            and ("proj" in k or "lm_head" in k or "codec_head" in k or "linear_fc" in k)
+            and "embedding" not in k
+            and v.shape[1] % group == 0
+        )
+        if is_linear:
+            packed, scales, biases = pack_quantized(v, bits=bits, group=group)
+            out[k] = packed
+            out[k + ".scales"] = scales
+            out[k + ".biases"] = biases
+        else:
+            out[k] = v
+    return out
+
+
+def write_checkpoint(
+    path: str, include_speech_tokenizer: bool = True, quantize: bool = False
+) -> str:
     from safetensors.numpy import save_file
 
     os.makedirs(path, exist_ok=True)
+    cfg = dict(TINY_CONFIG)
+    weights = build_main_weights(TINY_CONFIG)
+    if quantize:
+        cfg["quantization"] = {"group_size": 32, "bits": 4, "mode": "affine"}
+        weights = quantize_weights_mlx(weights, bits=4, group=32)
     with open(os.path.join(path, "config.json"), "w") as f:
-        json.dump(TINY_CONFIG, f)
-    save_file(build_main_weights(TINY_CONFIG), os.path.join(path, "model.safetensors"))
+        json.dump(cfg, f)
+    save_file(weights, os.path.join(path, "model.safetensors"))
     if include_speech_tokenizer:
         st = os.path.join(path, "speech_tokenizer")
         os.makedirs(st, exist_ok=True)
