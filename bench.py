@@ -23,12 +23,17 @@ import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
+import os
+
 from qwen3tts_tpu.config import TokenizerDecoderConfig
 from qwen3tts_tpu.models import code_predictor as cp
 from qwen3tts_tpu.models import generate as gen
 from qwen3tts_tpu.models import talker as tk
 from qwen3tts_tpu.models import vocoder as vc
+from qwen3tts_tpu.utils import host_init as hi
 from __graft_entry__ import _flagship_06b
+
+INT4 = os.environ.get("BENCH_INT4") == "1"  # packed-int4 weight variant
 
 BASELINE_RTF = 0.70  # reference bf16 0.6B (docs/paper.tex:431)
 FRAMES = 66  # ~5.3 s of audio at 12.5 Hz (paper's mean duration, tex:452-467)
@@ -48,12 +53,16 @@ def main() -> None:
     vcfg = TokenizerDecoderConfig()  # full-size defaults (latent 1024, dim 1536)
 
     t0 = time.time()
-    talker_params = tk.init_talker_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    cp_params = cp.init_code_predictor_params(
-        jax.random.PRNGKey(1), cpc, cfg.hidden_size, jnp.bfloat16
-    )
+    tp_np = hi.host_init_talker_params(0, cfg)
+    cpp_np = hi.host_init_cp_params(1, cpc, cfg.hidden_size)
+    if INT4:
+        tp_np = hi.pack_linear_params(tp_np)
+        cpp_np = hi.pack_linear_params(cpp_np)
+        log("int4 packed weights")
+    talker_params = hi.to_device(tp_np, jnp.bfloat16)
+    cp_params = hi.to_device(cpp_np, jnp.bfloat16)
     voc_params = vc.init_vocoder_params(jax.random.PRNGKey(2), vcfg, jnp.float32)
-    jax.block_until_ready(talker_params["layers"]["q_proj"])
+    jax.block_until_ready(talker_params["layers"]["input_layernorm"])
     log(f"param init: {time.time() - t0:.1f}s")
 
     p_bucket = gen.pad_to_bucket(PREFILL_LEN)
@@ -67,7 +76,7 @@ def main() -> None:
     )
     tts_pad = jnp.zeros((cfg.hidden_size,), jnp.bfloat16)
     sampling = gen.SamplingConfig(0.9, 50, 1.0, 1.05)
-    cache_len = p_bucket + max_frames
+    cache_len = -(-(p_bucket + max_frames) // 128) * 128
 
     def make_cache():
         return tk.make_cache(cfg, 1, cache_len, jnp.bfloat16)
@@ -142,7 +151,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "rtf_0.6b_customvoice_66frames_v5e",
+                "metric": "rtf_0.6b_customvoice_66frames_v5e" + ("_int4" if INT4 else ""),
                 "value": round(rtf, 4),
                 "unit": "rtf_gen_time_over_audio_duration",
                 "vs_baseline": round(BASELINE_RTF / rtf, 2),

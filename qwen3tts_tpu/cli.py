@@ -163,7 +163,7 @@ def run_profiling(args, model) -> int:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    from .tts import Qwen3TTSModel
+    from .tts import Qwen3TTSError, Qwen3TTSModel
 
     t0 = time.time()
     model = Qwen3TTSModel.from_pretrained(args.model)
@@ -171,9 +171,13 @@ def main(argv=None) -> int:
     if model.supported_speakers:
         print(f"Speakers: {', '.join(model.supported_speakers)}")
 
-    if args.profile:
-        return run_profiling(args, model)
-    return run_generation(args, model)
+    try:
+        if args.profile:
+            return run_profiling(args, model)
+        return run_generation(args, model)
+    except Qwen3TTSError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -233,6 +233,16 @@ def forward(
     nq, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
 
+    import os
+
+    use_attn_kernel = (
+        S == 1
+        and B == 1
+        and T_max % 128 == 0
+        and jax.devices()[0].platform in ("tpu", "axon")
+        and not os.environ.get("QWEN3TTS_NO_PALLAS_ATTN")
+    )
+
     def layer_fn(h, xs):
         p, k_cache, v_cache = xs
         x = rms_norm(h, p["input_layernorm"], eps)
@@ -248,8 +258,15 @@ def forward(
 
         k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, offset, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, offset, 0))
+        if use_attn_kernel:
+            # Pallas path: prefix-only flash attention over the HBM cache
+            # (ops/attention.py); the DUS append above is in-place on the
+            # donated loop carry
+            from ..ops.attention import decode_attention_inner
 
-        attn = _attend(q, k_cache, v_cache, mask, scale)
+            attn = decode_attention_inner(q, k_cache, v_cache, offset, scale)
+        else:
+            attn = _attend(q, k_cache, v_cache, mask, scale)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nq * hd)
         h = h + _dense(attn, p["o_proj"])
 

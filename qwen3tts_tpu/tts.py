@@ -410,9 +410,10 @@ class Qwen3TTSModel:
         t_len = trailing.shape[0]
         t_bucket = pad_to_bucket(t_len)
         trailing_p = jnp.pad(trailing.astype(self.dtype), ((0, t_bucket - t_len), (0, 0)))
-        cache = tk_mod.make_cache(
-            self.talker_cfg, 1, p_bucket + max_frames, self.dtype
-        )
+        # round the cache up to 128 so the Pallas decode-attention kernel
+        # (128-row blocks) is eligible
+        cache_len = -(-(p_bucket + max_frames) // 128) * 128
+        cache = tk_mod.make_cache(self.talker_cfg, 1, cache_len, self.dtype)
         common = dict(
             talker_cfg=self.talker_cfg,
             cp_cfg=self.cp_cfg,
