@@ -75,7 +75,8 @@ def main() -> None:
         jax.random.normal(jax.random.PRNGKey(4), (64, cfg.hidden_size), jnp.bfloat16) * 0.05
     )
     tts_pad = jnp.zeros((cfg.hidden_size,), jnp.bfloat16)
-    sampling = gen.SamplingConfig(0.9, 50, 1.0, 1.05)
+    # forbid_eos: random weights must not terminate early (fixed 66 frames)
+    sampling = gen.SamplingConfig(0.9, 50, 1.0, 1.05, forbid_eos=True)
     cache_len = -(-(p_bucket + max_frames) // 128) * 128
 
     def make_cache():

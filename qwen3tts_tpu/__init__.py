@@ -17,4 +17,13 @@ from .config import (
     TokenizerEncoderConfig,
 )
 
+from .tts import (
+    AudioEvent,
+    GenerationInfo,
+    InfoEvent,
+    Qwen3TTSError,
+    Qwen3TTSModel,
+    TokenEvent,
+)
+
 __version__ = "0.1.0"

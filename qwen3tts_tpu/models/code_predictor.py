@@ -130,9 +130,15 @@ def forward(
     def layer_fn(h, xs):
         p, k_cache, v_cache = xs
         x = rms_norm(h, p["input_layernorm"], eps)
-        q = _dense(x, p["q_proj"]).reshape(B, S, nq, hd)
-        k = _dense(x, p["k_proj"]).reshape(B, S, nkv, hd)
-        v = _dense(x, p["v_proj"]).reshape(B, S, nkv, hd)
+        if "qkv_proj" in p:
+            qkv = _dense(x, p["qkv_proj"])
+            q = qkv[..., : nq * hd].reshape(B, S, nq, hd)
+            k = qkv[..., nq * hd : (nq + nkv) * hd].reshape(B, S, nkv, hd)
+            v = qkv[..., (nq + nkv) * hd :].reshape(B, S, nkv, hd)
+        else:
+            q = _dense(x, p["q_proj"]).reshape(B, S, nq, hd)
+            k = _dense(x, p["k_proj"]).reshape(B, S, nkv, hd)
+            v = _dense(x, p["v_proj"]).reshape(B, S, nkv, hd)
         q = rms_norm(q, p["q_norm"], eps)
         k = rms_norm(k, p["k_norm"], eps)
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
@@ -143,7 +149,12 @@ def forward(
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nq * hd)
         h = h + _dense(attn, p["o_proj"])
         x = rms_norm(h, p["post_attention_layernorm"], eps)
-        gated = silu(_dense(x, p["gate_proj"])) * _dense(x, p["up_proj"])
+        if "gate_up_proj" in p:
+            gu = _dense(x, p["gate_up_proj"])
+            half = gu.shape[-1] // 2
+            gated = silu(gu[..., :half]) * gu[..., half:]
+        else:
+            gated = silu(_dense(x, p["gate_proj"])) * _dense(x, p["up_proj"])
         h = h + _dense(gated, p["down_proj"])
         return h, (k_cache, v_cache)
 

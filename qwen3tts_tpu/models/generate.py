@@ -40,12 +40,16 @@ from . import talker as tk
 
 
 class SamplingConfig(NamedTuple):
-    """Static sampling hyper-parameters (hashable; part of the jit key)."""
+    """Static sampling hyper-parameters (hashable; part of the jit key).
+
+    ``forbid_eos`` suppresses the EOS token entirely (benchmarking: forces
+    generation to run to the step cap regardless of weights)."""
 
     temperature: float = 0.9
     top_k: int = 50
     top_p: float = 1.0
     repetition_penalty: float = 1.05
+    forbid_eos: bool = False
 
 
 class GenCarry(NamedTuple):
@@ -85,6 +89,9 @@ def _frame(
     Returns (code0 [B], rest [B,15], is_eos scalar bool, seen', key').
     """
     key, k_tok, k_cp = jax.random.split(key, 3)
+    eos_id = talker_cfg.codec_eos_token_id
+    if sampling.forbid_eos:
+        suppress_mask = suppress_mask.at[eos_id].set(True)
     code0 = sample_token_inner(
         k_tok,
         logits_last,
@@ -94,10 +101,10 @@ def _frame(
         repetition_penalty=sampling.repetition_penalty,
         seen=seen,
         suppress_mask=suppress_mask,
-        eos_token_id=talker_cfg.codec_eos_token_id,
+        eos_token_id=None if sampling.forbid_eos else eos_id,
     )  # [B]
     seen = seen.at[code0[0]].set(True)
-    is_eos = code0[0] == talker_cfg.codec_eos_token_id
+    is_eos = code0[0] == eos_id
 
     rest = jax.lax.cond(
         is_eos,

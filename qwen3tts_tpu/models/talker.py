@@ -179,6 +179,38 @@ def embed_codec(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
     return _embed(params["codec_embedding"], ids)
 
 
+def fuse_layer_projections(layers: Params) -> Params:
+    """Fuse q/k/v -> qkv_proj and gate/up -> gate_up_proj (one matmul each).
+
+    NOTE: measured ~30% slower than unfused for B=1 decode on v5e (XLA's
+    matvec codegen prefers narrower matmuls) — kept as an experimental
+    option, default OFF. Works for dense stacked
+    weights [L, in, out] (concat on out) and for stacked PackedLinears
+    (concat on the O axis — MLX affine groups are per-output-row, so packing
+    is preserved exactly). forward() uses the fused path when present.
+    """
+    from ..ops.quant import PackedLinear
+
+    out = dict(layers)
+
+    def cat(ws):
+        if isinstance(ws[0], PackedLinear):
+            return PackedLinear(
+                jnp.concatenate([w.q for w in ws], axis=-2),
+                jnp.concatenate([w.scales for w in ws], axis=-2),
+                jnp.concatenate([w.biases for w in ws], axis=-2),
+                ws[0].bits,
+                ws[0].group,
+            )
+        return jnp.concatenate(ws, axis=-1)
+
+    out["qkv_proj"] = cat([layers["q_proj"], layers["k_proj"], layers["v_proj"]])
+    out["gate_up_proj"] = cat([layers["gate_proj"], layers["up_proj"]])
+    for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+        del out[name]
+    return out
+
+
 def _attend(q, k, v, mask, scale):
     """GQA attention. q: [B, Hq, S, D], k/v: [B, Hkv, T, D], mask: [B, S, T]."""
     B, Hq, S, D = q.shape
@@ -235,10 +267,14 @@ def forward(
 
     import os
 
+    # the prefix-streaming kernel wins when the cache is long (it reads
+    # ~pos rows instead of T_max); at short caches the XLA full-read path
+    # has less per-layer overhead — measured crossover around 1k rows
     use_attn_kernel = (
         S == 1
         and B == 1
         and T_max % 128 == 0
+        and T_max >= 1024
         and jax.devices()[0].platform in ("tpu", "axon")
         and not os.environ.get("QWEN3TTS_NO_PALLAS_ATTN")
     )
@@ -246,9 +282,15 @@ def forward(
     def layer_fn(h, xs):
         p, k_cache, v_cache = xs
         x = rms_norm(h, p["input_layernorm"], eps)
-        q = _dense(x, p["q_proj"]).reshape(B, S, nq, hd)
-        k = _dense(x, p["k_proj"]).reshape(B, S, nkv, hd)
-        v = _dense(x, p["v_proj"]).reshape(B, S, nkv, hd)
+        if "qkv_proj" in p:
+            qkv = _dense(x, p["qkv_proj"])
+            q = qkv[..., : nq * hd].reshape(B, S, nq, hd)
+            k = qkv[..., nq * hd : (nq + nkv) * hd].reshape(B, S, nkv, hd)
+            v = qkv[..., (nq + nkv) * hd :].reshape(B, S, nkv, hd)
+        else:
+            q = _dense(x, p["q_proj"]).reshape(B, S, nq, hd)
+            k = _dense(x, p["k_proj"]).reshape(B, S, nkv, hd)
+            v = _dense(x, p["v_proj"]).reshape(B, S, nkv, hd)
         q = rms_norm(q, p["q_norm"], eps)
         k = rms_norm(k, p["k_norm"], eps)
         q = q.transpose(0, 2, 1, 3)
@@ -271,7 +313,12 @@ def forward(
         h = h + _dense(attn, p["o_proj"])
 
         x = rms_norm(h, p["post_attention_layernorm"], eps)
-        gated = silu(_dense(x, p["gate_proj"])) * _dense(x, p["up_proj"])
+        if "gate_up_proj" in p:
+            gu = _dense(x, p["gate_up_proj"])
+            half = gu.shape[-1] // 2
+            gated = silu(gu[..., :half]) * gu[..., half:]
+        else:
+            gated = silu(_dense(x, p["gate_proj"])) * _dense(x, p["up_proj"])
         h = h + _dense(gated, p["down_proj"])
         return h, (k_cache, v_cache)
 
@@ -302,9 +349,15 @@ def activation_stats(params: Params, cfg: TalkerConfig, inputs_embeds: jnp.ndarr
 
     def layer_fn(h, p):
         x = rms_norm(h, p["input_layernorm"], eps)
-        q = _dense(x, p["q_proj"]).reshape(B, S, nq, hd)
-        k = _dense(x, p["k_proj"]).reshape(B, S, nkv, hd)
-        v = _dense(x, p["v_proj"]).reshape(B, S, nkv, hd)
+        if "qkv_proj" in p:
+            qkv = _dense(x, p["qkv_proj"])
+            q = qkv[..., : nq * hd].reshape(B, S, nq, hd)
+            k = qkv[..., nq * hd : (nq + nkv) * hd].reshape(B, S, nkv, hd)
+            v = qkv[..., (nq + nkv) * hd :].reshape(B, S, nkv, hd)
+        else:
+            q = _dense(x, p["q_proj"]).reshape(B, S, nq, hd)
+            k = _dense(x, p["k_proj"]).reshape(B, S, nkv, hd)
+            v = _dense(x, p["v_proj"]).reshape(B, S, nkv, hd)
         q = rms_norm(q, p["q_norm"], eps).transpose(0, 2, 1, 3)
         k = rms_norm(k, p["k_norm"], eps).transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
@@ -313,7 +366,12 @@ def activation_stats(params: Params, cfg: TalkerConfig, inputs_embeds: jnp.ndarr
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nq * hd)
         h = h + _dense(attn, p["o_proj"])
         x = rms_norm(h, p["post_attention_layernorm"], eps)
-        gated = silu(_dense(x, p["gate_proj"])) * _dense(x, p["up_proj"])
+        if "gate_up_proj" in p:
+            gu = _dense(x, p["gate_up_proj"])
+            half = gu.shape[-1] // 2
+            gated = silu(gu[..., :half]) * gu[..., half:]
+        else:
+            gated = silu(_dense(x, p["gate_proj"])) * _dense(x, p["up_proj"])
         act_max = jnp.max(jnp.abs(gated.astype(jnp.float32)), axis=(0, 1))
         h = h + _dense(gated, p["down_proj"])
         return h, act_max

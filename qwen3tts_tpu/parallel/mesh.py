@@ -43,6 +43,11 @@ def _named(mesh: Mesh, spec: P) -> NamedSharding:
 
 def talker_param_specs(params: Any) -> Any:
     """PartitionSpec pytree matching models/talker.py param structure."""
+    if "qkv_proj" in params.get("layers", {}):
+        raise ValueError(
+            "TP sharding requires unfused projections: load with fuse=False "
+            "(fused qkv concat would split q/k/v head groups across shards)"
+        )
     layer_specs = {
         "q_proj": P(None, None, "tp"),
         "k_proj": P(None, None, "tp"),

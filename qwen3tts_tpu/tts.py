@@ -128,16 +128,32 @@ class Qwen3TTSModel:
 
     @classmethod
     def from_pretrained(
-        cls, model_path: str, dtype=jnp.bfloat16, keep_packed: bool | None = None
+        cls,
+        model_path: str,
+        dtype=jnp.bfloat16,
+        keep_packed: bool | None = None,
+        fuse: bool = False,
     ) -> "Qwen3TTSModel":
         """Load config.json + safetensors (+ speech_tokenizer/, tokenizer)
         from a local directory (reference Qwen3.swift:1382-1495).
 
         ``keep_packed`` keeps int4/int8 weights packed for the Pallas
-        dequant-in-matmul decode path (default: on iff quantized)."""
+        dequant-in-matmul decode path (default: on iff quantized).
+        ``fuse`` concatenates q/k/v and gate/up projections into single
+        matmuls. Measured on v5e this is ~30% SLOWER for B=1 decode (XLA's
+        matvec codegen prefers the narrower matmuls), so it is off by
+        default; kept for experimentation on other topologies."""
         from .utils.loader import Checkpoint
 
         ckpt = Checkpoint(model_path, dtype, keep_packed=keep_packed)
+        if fuse:
+            ckpt.talker_params["layers"] = tk_mod.fuse_layer_projections(
+                ckpt.talker_params["layers"]
+            )
+            if ckpt.cp_params is not None:
+                ckpt.cp_params["layers"] = tk_mod.fuse_layer_projections(
+                    ckpt.cp_params["layers"]
+                )
         tokenizer = None
         try:
             from transformers import AutoTokenizer

@@ -266,3 +266,39 @@ class TestVocoder:
         wav1, _ = vc.decode(params, TINY_VOCODER, codes)
         wav2, _ = vc.decode(params, TINY_VOCODER, codes_pad)
         assert not np.allclose(np.asarray(wav2)[:, : 4 * 1920], np.asarray(wav1), atol=1e-5)
+
+
+class TestFusedProjections:
+    def test_fused_forward_matches_unfused(self, talker_params):
+        from qwen3tts_tpu.models.talker import fuse_layer_projections
+
+        x = jax.random.normal(jax.random.PRNGKey(11), (1, 5, TINY_TALKER.hidden_size))
+        cache = tk.make_cache(TINY_TALKER, 1, 16, jnp.float32)
+        h_ref, _ = tk.forward(talker_params, TINY_TALKER, x, cache, jnp.int32(0))
+
+        fused = dict(talker_params)
+        fused["layers"] = fuse_layer_projections(talker_params["layers"])
+        assert "qkv_proj" in fused["layers"] and "q_proj" not in fused["layers"]
+        cache = tk.make_cache(TINY_TALKER, 1, 16, jnp.float32)
+        h_fused, _ = tk.forward(fused, TINY_TALKER, x, cache, jnp.int32(0))
+        np.testing.assert_allclose(h_fused, h_ref, atol=1e-5)
+
+    def test_fused_packed_matches_unfused_packed(self):
+        """PackedLinear concat along O preserves quantized numerics."""
+        from qwen3tts_tpu.models.talker import fuse_layer_projections
+        from qwen3tts_tpu.utils import host_init as hi
+
+        p_np = hi.host_init_talker_params(3, TINY_TALKER)
+        packed = hi.pack_linear_params(p_np, group=32)
+        x = jax.random.normal(jax.random.PRNGKey(12), (1, 3, TINY_TALKER.hidden_size))
+
+        dev = hi.to_device(packed, jnp.float32)
+        cache = tk.make_cache(TINY_TALKER, 1, 16, jnp.float32)
+        h_ref, _ = tk.forward(dev, TINY_TALKER, x, cache, jnp.int32(0))
+
+        fused = dict(packed)
+        fused["layers"] = fuse_layer_projections(packed["layers"])
+        dev_f = hi.to_device(fused, jnp.float32)
+        cache = tk.make_cache(TINY_TALKER, 1, 16, jnp.float32)
+        h_fused, _ = tk.forward(dev_f, TINY_TALKER, x, cache, jnp.int32(0))
+        np.testing.assert_allclose(h_fused, h_ref, atol=1e-5)
