@@ -31,9 +31,10 @@ from qwen3tts_tpu.models import generate as gen
 from qwen3tts_tpu.models import talker as tk
 from qwen3tts_tpu.models import vocoder as vc
 from qwen3tts_tpu.utils import host_init as hi
-from __graft_entry__ import _flagship_06b
+from __graft_entry__ import _flagship_06b, _flagship_17b
 
 INT4 = os.environ.get("BENCH_INT4") == "1"  # packed-int4 weight variant
+MODEL = os.environ.get("BENCH_MODEL", "0b6")  # "0b6" | "1b7"
 
 BASELINE_RTF = 0.70  # reference bf16 0.6B (docs/paper.tex:431)
 FRAMES = 66  # ~5.3 s of audio at 12.5 Hz (paper's mean duration, tex:452-467)
@@ -48,7 +49,7 @@ def log(*a):
 def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev}")
-    cfg = _flagship_06b()
+    cfg = _flagship_17b() if MODEL == "1b7" else _flagship_06b()
     cpc = cfg.code_predictor_config
     vcfg = TokenizerDecoderConfig()  # full-size defaults (latent 1024, dim 1536)
 
@@ -152,7 +153,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "rtf_0.6b_customvoice_66frames_v5e" + ("_int4" if INT4 else ""),
+                "metric": f"rtf_{'1.7b' if MODEL == '1b7' else '0.6b'}_customvoice_66frames_v5e" + ("_int4" if INT4 else ""),
                 "value": round(rtf, 4),
                 "unit": "rtf_gen_time_over_audio_duration",
                 "vs_baseline": round(BASELINE_RTF / rtf, 2),

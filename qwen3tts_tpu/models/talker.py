@@ -279,8 +279,13 @@ def forward(
         and not os.environ.get("QWEN3TTS_NO_PALLAS_ATTN")
     )
 
-    def layer_fn(h, xs):
-        p, k_cache, v_cache = xs
+    # The cache rides the scan CARRY (not xs/ys): carried buffers are updated
+    # with dynamic_update_slice in place, whereas scan ys would allocate and
+    # copy a fresh full-cache output every step (measured +1.5 ms/step at a
+    # 2048-row cache on v5e).
+    def layer_fn(carry, xs):
+        h, k_all, v_all = carry
+        p, idx = xs
         x = rms_norm(h, p["input_layernorm"], eps)
         if "qkv_proj" in p:
             qkv = _dense(x, p["qkv_proj"])
@@ -298,16 +303,17 @@ def forward(
         v = v.transpose(0, 2, 1, 3)
         q, k = apply_rotary(q, k, cos, sin)
 
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, offset, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, offset, 0))
+        k_all = jax.lax.dynamic_update_slice(k_all, k[None], (idx, 0, 0, offset, 0))
+        v_all = jax.lax.dynamic_update_slice(v_all, v[None], (idx, 0, 0, offset, 0))
         if use_attn_kernel:
             # Pallas path: prefix-only flash attention over the HBM cache
-            # (ops/attention.py); the DUS append above is in-place on the
-            # donated loop carry
+            # (ops/attention.py), reading this layer's slice via DMA
             from ..ops.attention import decode_attention_inner
 
-            attn = decode_attention_inner(q, k_cache, v_cache, offset, scale)
+            attn = decode_attention_inner(q, k_all, v_all, offset, scale, layer=idx)
         else:
+            k_cache = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
+            v_cache = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
             attn = _attend(q, k_cache, v_cache, mask, scale)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nq * hd)
         h = h + _dense(attn, p["o_proj"])
@@ -320,10 +326,13 @@ def forward(
         else:
             gated = silu(_dense(x, p["gate_proj"])) * _dense(x, p["up_proj"])
         h = h + _dense(gated, p["down_proj"])
-        return h, (k_cache, v_cache)
+        return (h, k_all, v_all), None
 
-    h, (new_k, new_v) = jax.lax.scan(
-        layer_fn, inputs_embeds, (params["layers"], cache.k, cache.v)
+    L = cfg.num_hidden_layers
+    (h, new_k, new_v), _ = jax.lax.scan(
+        layer_fn,
+        (inputs_embeds, cache.k, cache.v),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32)),
     )
     h = rms_norm(h, params["norm"], eps)
     return h, KVCache(new_k, new_v)

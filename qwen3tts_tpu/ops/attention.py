@@ -36,29 +36,30 @@ NEG_INF = -1e30  # python float: jnp constants would be captured as kernel const
 
 def _decode_attn_kernel(
     scale: float,
-    pos_ref,  # SMEM [1] int32 (scalar prefetch)
+    scalars_ref,  # SMEM [2] int32 (scalar prefetch): [pos, layer]
     q_ref,  # VMEM [G, D]
-    k_cache_hbm,  # ANY  [Hkv, T, D] full array
+    k_cache_hbm,  # ANY  [L, Hkv, T, D] full array
     v_cache_hbm,
     o_ref,  # VMEM [G, D]
     k_buf,  # VMEM scratch [2, BLOCK_T, D]
     v_buf,
     read_sems,  # DMA sems (2, 2)
 ):
-    pos = pos_ref[0]
+    pos = scalars_ref[0]
+    lyr = scalars_ref[1]
     h = pl.program_id(0)  # ANY-space refs stay whole-array: index head here
-    T = k_cache_hbm.shape[1]
+    T = k_cache_hbm.shape[2]
     n_blocks = T // BLOCK_T
     n_valid = jnp.minimum((pos + BLOCK_T) // BLOCK_T, n_blocks)
 
     def read(slot, blk):
         start = blk * BLOCK_T
         k_dma = pltpu.make_async_copy(
-            k_cache_hbm.at[h, pl.ds(start, BLOCK_T), :], k_buf.at[slot],
+            k_cache_hbm.at[lyr, h, pl.ds(start, BLOCK_T), :], k_buf.at[slot],
             read_sems.at[slot, 0],
         )
         v_dma = pltpu.make_async_copy(
-            v_cache_hbm.at[h, pl.ds(start, BLOCK_T), :], v_buf.at[slot],
+            v_cache_hbm.at[lyr, h, pl.ds(start, BLOCK_T), :], v_buf.at[slot],
             read_sems.at[slot, 1],
         )
         return k_dma, v_dma
@@ -122,11 +123,24 @@ def decode_attention(
 
 
 def decode_attention_inner(
-    q, k_cache, v_cache, pos, scale: float, interpret: bool = False
+    q, k_cache, v_cache, pos, scale: float, layer=None, interpret: bool = False
 ):
-    """Un-jitted body for composition inside larger jitted programs."""
+    """Un-jitted body for composition inside larger jitted programs.
+
+    Two cache layouts:
+      layer=None: k/v_cache [1, Hkv, T, D]       (single-layer, B leading)
+      layer=idx:  k/v_cache [L, 1, Hkv, T, D]    (the scan-carried full
+                  cache; ``layer`` selects the slice INSIDE the kernel so
+                  no per-layer cache copy is materialized)
+    """
     _, Hq, _, D = q.shape
-    _, Hkv, T, _ = k_cache.shape
+    if layer is None:
+        # [1, Hkv, T, D]: reinterpret the B=1 axis as L=1
+        k_full, v_full = k_cache, v_cache
+        layer = jnp.int32(0)
+    else:
+        k_full, v_full = k_cache[:, 0], v_cache[:, 0]  # [L, Hkv, T, D]
+    Hkv, T = k_full.shape[1], k_full.shape[2]
     G = Hq // Hkv
     assert T % BLOCK_T == 0, f"cache length {T} must be a multiple of {BLOCK_T}"
 
@@ -154,5 +168,10 @@ def decode_attention_inner(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(pos.reshape(1), q2, k_cache[0], v_cache[0])
+    )(
+        jnp.stack([jnp.asarray(pos, jnp.int32), jnp.asarray(layer, jnp.int32)]),
+        q2,
+        k_full,
+        v_full,
+    )
     return out.reshape(1, Hq, 1, D)
