@@ -338,6 +338,83 @@ def forward(
     return h, KVCache(new_k, new_v)
 
 
+def forward_batched_step(
+    params: Params,
+    cfg: TalkerConfig,
+    inputs_embeds: jnp.ndarray,  # [B, 1, h]
+    cache: KVCache,
+    offsets: jnp.ndarray,  # [B] int32: per-sequence cache positions
+):
+    """Single-token decode for a BATCH of sequences at different positions.
+
+    Like :func:`forward` with S=1, but each sequence writes its k/v at its
+    own offset (scatter) and masks its own prefix — the batched-serving
+    path (models/batch_generate.py). Returns (hidden [B, 1, h], new_cache).
+    """
+    B, S, _ = inputs_embeds.shape
+    assert S == 1, "forward_batched_step is single-token decode only"
+    T_max = cache.max_len
+
+    positions = offsets[:, None].astype(jnp.int32)  # [B, 1]
+    cos, sin = mrope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta, cfg.mrope_section, inputs_embeds.dtype
+    )
+    t_idx = jnp.arange(T_max, dtype=jnp.int32)
+    mask = t_idx[None, None, :] <= offsets[:, None, None]  # [B, 1, T]
+
+    scale = cfg.head_dim**-0.5
+    nq, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    b_idx = jnp.arange(B)[:, None]
+    h_idx = jnp.arange(nkv)[None, :]
+
+    def layer_fn(carry, xs):
+        h, k_all, v_all = carry
+        p, idx = xs
+        x = rms_norm(h, p["input_layernorm"], eps)
+        if "qkv_proj" in p:
+            qkv = _dense(x, p["qkv_proj"])
+            q = qkv[..., : nq * hd].reshape(B, S, nq, hd)
+            k = qkv[..., nq * hd : (nq + nkv) * hd].reshape(B, S, nkv, hd)
+            v = qkv[..., (nq + nkv) * hd :].reshape(B, S, nkv, hd)
+        else:
+            q = _dense(x, p["q_proj"]).reshape(B, S, nq, hd)
+            k = _dense(x, p["k_proj"]).reshape(B, S, nkv, hd)
+            v = _dense(x, p["v_proj"]).reshape(B, S, nkv, hd)
+        q = rms_norm(q, p["q_norm"], eps).transpose(0, 2, 1, 3)
+        k = rms_norm(k, p["k_norm"], eps).transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        q, k = apply_rotary(q, k, cos, sin)
+
+        # per-sequence scatter append: k_all[idx, b, :, offsets[b], :] = k
+        k_all = k_all.at[idx, b_idx, h_idx, offsets[:, None], :].set(k[:, :, 0, :])
+        v_all = v_all.at[idx, b_idx, h_idx, offsets[:, None], :].set(v[:, :, 0, :])
+        k_cache = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
+        attn = _attend(q, k_cache, v_cache, mask, scale)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nq * hd)
+        h = h + _dense(attn, p["o_proj"])
+
+        x = rms_norm(h, p["post_attention_layernorm"], eps)
+        if "gate_up_proj" in p:
+            gu = _dense(x, p["gate_up_proj"])
+            half = gu.shape[-1] // 2
+            gated = silu(gu[..., :half]) * gu[..., half:]
+        else:
+            gated = silu(_dense(x, p["gate_proj"])) * _dense(x, p["up_proj"])
+        h = h + _dense(gated, p["down_proj"])
+        return (h, k_all, v_all), None
+
+    L = cfg.num_hidden_layers
+    (h, new_k, new_v), _ = jax.lax.scan(
+        layer_fn,
+        (inputs_embeds, cache.k, cache.v),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+    )
+    h = rms_norm(h, params["norm"], eps)
+    return h, KVCache(new_k, new_v)
+
+
 def activation_stats(params: Params, cfg: TalkerConfig, inputs_embeds: jnp.ndarray):
     """Teacher-forced full-causal forward returning per-neuron FFN maxima.
 

@@ -225,7 +225,10 @@ def pre_transformer(
     eps = cfg.rms_norm_eps
     key_mask = None
     if frames is not None:
-        key_mask = (jnp.arange(T, dtype=jnp.int32) < frames)[None, None, None, :]
+        frames_b = jnp.broadcast_to(jnp.asarray(frames, jnp.int32).reshape(-1), (B,))
+        key_mask = (
+            jnp.arange(T, dtype=jnp.int32)[None] < frames_b[:, None]
+        )[:, None, None, :]  # [B, 1, 1, T] — per-sequence valid-frame mask
 
     def layer_fn(h, p):
         x = rms_norm(h, p["input_layernorm"], eps)
@@ -317,8 +320,10 @@ def decode(
     """
     wav = decode_latents(params, cfg, codes, frames)
     frame_idx = jnp.arange(codes.shape[1], dtype=jnp.int32)
-    in_range = frame_idx[None] < (
-        frames if frames is not None else jnp.int32(codes.shape[1])
-    )
+    if frames is None:
+        in_range = frame_idx[None] < jnp.int32(codes.shape[1])
+    else:
+        frames_b = jnp.asarray(frames, jnp.int32).reshape(-1)
+        in_range = frame_idx[None] < frames_b[:, None]
     valid = jnp.sum(((codes[..., 0] > 0) & in_range).astype(jnp.int32), axis=1)
     return wav, valid * cfg.total_upsample

@@ -683,6 +683,103 @@ class Qwen3TTSModel:
             return self.generate_custom_voice(text, speaker, instruct=None, **kwargs)
         return self.generate_voice_design(text, instruct=instruct, **kwargs)
 
+    def generate_batch(
+        self,
+        texts: list[str],
+        speakers: list[str] | None = None,
+        instructs: list[str] | None = None,
+        language: str = "auto",
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        repetition_penalty: float = 1.05,
+        max_tokens: int = 2048,
+        seed: int = 0,
+    ) -> list[np.ndarray]:
+        """Batched serving: synthesize N utterances in one lockstep decode.
+
+        Production extension beyond the reference (which is batch-1):
+        single-token decode is weight-bandwidth-bound, so N sequences share
+        the same weight stream at near-constant step latency — throughput
+        per chip scales with N. Returns one waveform per input text.
+        """
+        from .models import batch_generate as bg
+
+        B = len(texts)
+        if B == 0:
+            return []
+        speakers = speakers or [None] * B
+        instructs = instructs or [None] * B
+        mode = self.config.tts_model_type
+        built = []
+        for text, speaker, instruct in zip(texts, speakers, instructs):
+            if mode == "base":
+                instruct = None
+            embeds, trailing, pad = self._prepare_generation_inputs(
+                text, language=language, speaker=speaker, instruct=instruct
+            )
+            built.append((embeds, trailing, pad))
+
+        p_bucket = pad_to_bucket(max(e.shape[1] for e, _, _ in built))
+        t_bucket = pad_to_bucket(max(t.shape[0] for _, t, _ in built))
+        prefill = jnp.stack(
+            [
+                jnp.pad(e[0].astype(self.dtype), ((0, p_bucket - e.shape[1]), (0, 0)))
+                for e, _, _ in built
+            ]
+        )
+        trailing = jnp.stack(
+            [
+                jnp.pad(t.astype(self.dtype), ((0, t_bucket - t.shape[0]), (0, 0)))
+                for _, t, _ in built
+            ]
+        )
+        prefill_lens = jnp.asarray([e.shape[1] for e, _, _ in built], jnp.int32)
+        trailing_lens = jnp.asarray([t.shape[0] for _, t, _ in built], jnp.int32)
+        tts_pad = built[0][2].astype(self.dtype)
+
+        caps = [self._effective_max_tokens(t, max_tokens) for t in texts]
+        max_frames = pad_to_bucket(max(caps), GEN_BUCKETS)
+        cache_len = -(-(p_bucket + max_frames) // 128) * 128
+        res = bg.generate_codes_batch(
+            self.talker_params,
+            self.cp_params,
+            talker_cfg=self.talker_cfg,
+            cp_cfg=self.cp_cfg,
+            sampling=SamplingConfig(temperature, top_k, top_p, repetition_penalty),
+            prefill_embeds=prefill,
+            prefill_lens=prefill_lens,
+            trailing_embeds=trailing,
+            trailing_lens=trailing_lens,
+            tts_pad_embed=tts_pad,
+            cache=tk_mod.make_cache(self.talker_cfg, B, cache_len, self.dtype),
+            max_steps=jnp.asarray(caps, jnp.int32),
+            max_frames=max_frames,
+            key=jax.random.PRNGKey(seed),
+        )
+        n_frames = np.asarray(res.n_frames)
+        if (n_frames == 0).all():
+            raise Qwen3TTSError("No tokens generated")
+        # batched vocoder decode with per-sequence frame masks
+        dec_cfg = self.tokenizer_config.decoder_config
+        t_vbucket = pad_to_bucket(max(int(n_frames.max()), 1), GEN_BUCKETS)
+        buf = np.zeros((B, t_vbucket, dec_cfg.num_quantizers), np.int32)
+        codes_np = np.asarray(res.codes)
+        for b in range(B):
+            buf[b, : n_frames[b]] = codes_np[b, : n_frames[b]]
+        wav, lengths = vc_mod.decode(
+            self.vocoder_params, dec_cfg, jnp.asarray(buf), jnp.asarray(n_frames)
+        )
+        wav_np, lengths_np = np.asarray(wav), np.asarray(lengths)
+        out = []
+        for b in range(B):
+            samples = wav_np[b][: n_frames[b] * dec_cfg.total_upsample]
+            valid = int(lengths_np[b])
+            if 0 < valid < samples.shape[0]:
+                samples = samples[:valid]
+            out.append(samples)
+        return out
+
     def generate_stream(
         self,
         text: str,

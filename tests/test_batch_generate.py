@@ -1,0 +1,138 @@
+"""Batched lockstep generation vs the single-sequence path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3tts_tpu.models import batch_generate as bg
+from qwen3tts_tpu.models import code_predictor as cp
+from qwen3tts_tpu.models import generate as gen
+from qwen3tts_tpu.models import talker as tk
+
+from test_models import TINY_CP, TINY_TALKER
+
+GREEDY = gen.SamplingConfig(temperature=0.0, top_k=0, top_p=1.0, repetition_penalty=1.0)
+
+
+@pytest.fixture(scope="module")
+def params():
+    talker = tk.init_talker_params(jax.random.PRNGKey(0), TINY_TALKER, jnp.float32)
+    cpp = cp.init_code_predictor_params(
+        jax.random.PRNGKey(1), TINY_CP, TINY_TALKER.hidden_size, jnp.float32
+    )
+    return talker, cpp
+
+
+def _single(params, prefill, plen, trailing, tlen, max_steps, max_frames=12):
+    talker, cpp = params
+    return gen.generate_codes(
+        talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=GREEDY,
+        prefill_embeds=prefill[None], prefill_len=jnp.int32(plen),
+        trailing_embeds=trailing, trailing_len=jnp.int32(tlen),
+        tts_pad_embed=jnp.zeros((TINY_TALKER.hidden_size,)),
+        cache=tk.make_cache(TINY_TALKER, 1, 64, jnp.float32),
+        max_steps=jnp.int32(max_steps), max_frames=max_frames,
+        key=jax.random.PRNGKey(0),
+    )
+
+
+class TestForwardBatchedStep:
+    def test_matches_single_sequence_forward(self, params):
+        """Per-sequence-offset decode == scalar-offset decode per sequence."""
+        talker, _ = params
+        h = TINY_TALKER.hidden_size
+        rs = jax.random.PRNGKey(2)
+        x = jax.random.normal(rs, (2, 1, h)) * 0.1
+        # shared cache prefilled differently per sequence
+        cache = tk.make_cache(TINY_TALKER, 2, 32, jnp.float32)
+        pre = jax.random.normal(jax.random.PRNGKey(3), (2, 6, h)) * 0.1
+        _, cache = tk.forward(talker, TINY_TALKER, pre, cache, jnp.int32(0))
+        offsets = jnp.asarray([4, 6], jnp.int32)  # seq0 used 4 slots, seq1 all 6
+
+        h_batch, cache_b = tk.forward_batched_step(talker, TINY_TALKER, x, cache, offsets)
+
+        for b, off in enumerate([4, 6]):
+            cache1 = tk.make_cache(TINY_TALKER, 1, 32, jnp.float32)
+            _, cache1 = tk.forward(
+                talker, TINY_TALKER, pre[b : b + 1, :off], cache1, jnp.int32(0)
+            )
+            h1, cache1 = tk.forward(
+                talker, TINY_TALKER, x[b : b + 1], cache1, jnp.int32(off)
+            )
+            np.testing.assert_allclose(h_batch[b], h1[0], atol=1e-5)
+            np.testing.assert_allclose(
+                cache_b.k[:, b, :, : off + 1], cache1.k[:, 0, :, : off + 1], atol=1e-5
+            )
+
+
+class TestBatchGeneration:
+    def test_batch_matches_single_greedy(self, params):
+        """B=2 lockstep greedy == two independent B=1 greedy runs."""
+        talker, cpp = params
+        h = TINY_TALKER.hidden_size
+        p0 = jax.random.normal(jax.random.PRNGKey(4), (7, h)) * 0.1
+        p1 = jax.random.normal(jax.random.PRNGKey(5), (5, h)) * 0.1
+        t0 = jax.random.normal(jax.random.PRNGKey(6), (4, h)) * 0.1
+        t1 = jax.random.normal(jax.random.PRNGKey(7), (3, h)) * 0.1
+
+        r0 = _single(params, p0, 7, t0, 4, max_steps=6)
+        r1 = _single(params, p1, 5, t1, 3, max_steps=4)
+
+        P, T = 8, 5
+        prefill = jnp.stack(
+            [jnp.pad(p0, ((0, P - 7), (0, 0))), jnp.pad(p1, ((0, P - 5), (0, 0)))]
+        )
+        trailing = jnp.stack(
+            [jnp.pad(t0, ((0, T - 4), (0, 0))), jnp.pad(t1, ((0, T - 3), (0, 0)))]
+        )
+        res = bg.generate_codes_batch(
+            talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=GREEDY,
+            prefill_embeds=prefill, prefill_lens=jnp.asarray([7, 5]),
+            trailing_embeds=trailing, trailing_lens=jnp.asarray([4, 3]),
+            tts_pad_embed=jnp.zeros((h,)),
+            cache=tk.make_cache(TINY_TALKER, 2, 64, jnp.float32),
+            max_steps=jnp.asarray([6, 4]), max_frames=12, key=jax.random.PRNGKey(0),
+        )
+        assert int(res.n_frames[0]) == int(r0.n_frames)
+        assert int(res.n_frames[1]) == int(r1.n_frames)
+        np.testing.assert_array_equal(
+            np.asarray(res.codes[0][: int(r0.n_frames)]),
+            np.asarray(r0.codes[: int(r0.n_frames)]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.codes[1][: int(r1.n_frames)]),
+            np.asarray(r1.codes[: int(r1.n_frames)]),
+        )
+
+    def test_per_sequence_caps(self, params):
+        talker, cpp = params
+        h = TINY_TALKER.hidden_size
+        prefill = jax.random.normal(jax.random.PRNGKey(8), (2, 4, h)) * 0.1
+        res = bg.generate_codes_batch(
+            talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=GREEDY,
+            prefill_embeds=prefill, prefill_lens=jnp.asarray([4, 4]),
+            trailing_embeds=jnp.zeros((2, 2, h)), trailing_lens=jnp.asarray([2, 2]),
+            tts_pad_embed=jnp.zeros((h,)),
+            cache=tk.make_cache(TINY_TALKER, 2, 64, jnp.float32),
+            max_steps=jnp.asarray([2, 5]), max_frames=8, key=jax.random.PRNGKey(0),
+        )
+        assert int(res.n_frames[0]) <= 2
+        assert int(res.n_frames[1]) <= 5
+
+    def test_sampled_batch_runs(self, params):
+        talker, cpp = params
+        h = TINY_TALKER.hidden_size
+        prefill = jax.random.normal(jax.random.PRNGKey(9), (3, 4, h)) * 0.1
+        res = bg.generate_codes_batch(
+            talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP,
+            sampling=gen.SamplingConfig(0.9, 50, 1.0, 1.05),
+            prefill_embeds=prefill, prefill_lens=jnp.asarray([4, 4, 4]),
+            trailing_embeds=jnp.zeros((3, 2, h)), trailing_lens=jnp.asarray([2, 2, 2]),
+            tts_pad_embed=jnp.zeros((h,)),
+            cache=tk.make_cache(TINY_TALKER, 3, 64, jnp.float32),
+            max_steps=jnp.asarray([5, 5, 5]), max_frames=8, key=jax.random.PRNGKey(1),
+        )
+        c = np.asarray(res.codes)
+        assert (c >= 0).all()
+        assert res.codes.shape == (3, 8, 16)

@@ -173,3 +173,34 @@ class TestPublicAPI:
         m.tokenizer = StubTokenizer()
         audio = m.generate("Quick check", speaker="Aiden", max_tokens=4, seed=0)
         assert audio.shape[0] > 0
+
+
+class TestBatchAPI:
+    def test_generate_batch_matches_single(self, model):
+        texts = ["Hello world batch test", "Another different sentence here"]
+        singles = [
+            model.generate(t, speaker="Aiden", temperature=0.0, max_tokens=6, seed=0)
+            for t in texts
+        ]
+        batch = model.generate_batch(
+            texts, speakers=["Aiden", "Aiden"], temperature=0.0, max_tokens=6, seed=0
+        )
+        assert len(batch) == 2
+        for got, want in zip(batch, singles):
+            np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_generate_batch_empty(self, model):
+        assert model.generate_batch([]) == []
+
+    def test_generate_batch_mixed_speakers(self, model):
+        out = model.generate_batch(
+            ["One sentence", "Two sentences now"],
+            speakers=["Aiden", "Vivian"],
+            temperature=0.0,
+            max_tokens=5,
+            seed=1,
+        )
+        assert all(a.shape[0] > 0 for a in out)
+        # different speakers should give different audio
+        n = min(out[0].shape[0], out[1].shape[0])
+        assert not np.allclose(out[0][:n], out[1][:n])
