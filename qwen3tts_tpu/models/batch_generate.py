@@ -29,12 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CodePredictorConfig, TalkerConfig
-from ..ops.sampling import (
-    apply_repetition_penalty,
-    apply_top_k,
-    apply_top_p,
-    build_suppress_mask,
-)
+from ..ops.sampling import build_suppress_mask, sample_token_inner
 from . import code_predictor as cp
 from . import talker as tk
 
@@ -59,22 +54,21 @@ class BatchResult(NamedTuple):
 
 
 def _sample_batch(key, logits, sampling, seen, suppress_mask, eos_id):
-    """Batched sampler: logits [B, V] -> tokens [B] (per-row independence)."""
-    logits = logits.astype(jnp.float32)
+    """Batched sampler: thin wrapper over the (batch-general) single-path
+    sampler so the two paths can never diverge. logits [B,V] -> tokens [B]."""
     if sampling.forbid_eos:
         suppress_mask = suppress_mask.at[eos_id].set(True)
-    logits = jnp.where(suppress_mask[None], -jnp.inf, logits)
-    logits = apply_repetition_penalty(logits, seen, sampling.repetition_penalty)
-    if sampling.temperature <= 0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    eos_logit = logits[:, eos_id]
-    logits_f = apply_top_k(logits, sampling.top_k)
-    logits_f = apply_top_p(logits_f, sampling.top_p)
-    if not sampling.forbid_eos:
-        logits_f = logits_f.at[:, eos_id].set(eos_logit)
-    return jax.random.categorical(
-        key, logits_f * (1.0 / sampling.temperature), axis=-1
-    ).astype(jnp.int32)
+    return sample_token_inner(
+        key,
+        logits,
+        temperature=sampling.temperature,
+        top_k=sampling.top_k,
+        top_p=sampling.top_p,
+        repetition_penalty=sampling.repetition_penalty,
+        seen=seen,
+        suppress_mask=suppress_mask,
+        eos_token_id=None if sampling.forbid_eos else eos_id,
+    )
 
 
 def _frame_batch(
@@ -222,10 +216,13 @@ def generate_chunk_batch(
             ),
             c.codes,
         )
+        # token stream sentinel matches the single path: -1 marks the EOS
+        # step (consumers emit only t >= 0)
+        token_val = jnp.where(is_eos, -1, code0)
         tokens = jnp.where(
-            record[:, None],
+            active[:, None],
             jax.vmap(lambda tseq, t, s: tseq.at[s].set(t))(
-                c.tokens, code0, jnp.broadcast_to(c.step, record.shape)
+                c.tokens, token_val, jnp.broadcast_to(c.step, active.shape)
             ),
             c.tokens,
         )

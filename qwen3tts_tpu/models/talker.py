@@ -179,6 +179,34 @@ def embed_codec(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
     return _embed(params["codec_embedding"], ids)
 
 
+
+def _project_qkv(p, x, B, S, nq, nkv, hd, eps):
+    """Shared q/k/v projection block: fused-or-separate matmuls + QK-RMSNorm,
+    transposed to [B, H, S, D] (pre-rotary). Used by every forward variant."""
+    if "qkv_proj" in p:
+        qkv = _dense(x, p["qkv_proj"])
+        q = qkv[..., : nq * hd].reshape(B, S, nq, hd)
+        k = qkv[..., nq * hd : (nq + nkv) * hd].reshape(B, S, nkv, hd)
+        v = qkv[..., (nq + nkv) * hd :].reshape(B, S, nkv, hd)
+    else:
+        q = _dense(x, p["q_proj"]).reshape(B, S, nq, hd)
+        k = _dense(x, p["k_proj"]).reshape(B, S, nkv, hd)
+        v = _dense(x, p["v_proj"]).reshape(B, S, nkv, hd)
+    q = rms_norm(q, p["q_norm"], eps).transpose(0, 2, 1, 3)
+    k = rms_norm(k, p["k_norm"], eps).transpose(0, 2, 1, 3)
+    return q, k, v.transpose(0, 2, 1, 3)
+
+
+def _swiglu_mlp(p, x):
+    """Shared SwiGLU block (fused-or-separate gate/up), returns gated value
+    pre-down-projection so callers can also record activation stats."""
+    if "gate_up_proj" in p:
+        gu = _dense(x, p["gate_up_proj"])
+        half = gu.shape[-1] // 2
+        return silu(gu[..., :half]) * gu[..., half:]
+    return silu(_dense(x, p["gate_proj"])) * _dense(x, p["up_proj"])
+
+
 def fuse_layer_projections(layers: Params) -> Params:
     """Fuse q/k/v -> qkv_proj and gate/up -> gate_up_proj (one matmul each).
 
@@ -287,20 +315,7 @@ def forward(
         h, k_all, v_all = carry
         p, idx = xs
         x = rms_norm(h, p["input_layernorm"], eps)
-        if "qkv_proj" in p:
-            qkv = _dense(x, p["qkv_proj"])
-            q = qkv[..., : nq * hd].reshape(B, S, nq, hd)
-            k = qkv[..., nq * hd : (nq + nkv) * hd].reshape(B, S, nkv, hd)
-            v = qkv[..., (nq + nkv) * hd :].reshape(B, S, nkv, hd)
-        else:
-            q = _dense(x, p["q_proj"]).reshape(B, S, nq, hd)
-            k = _dense(x, p["k_proj"]).reshape(B, S, nkv, hd)
-            v = _dense(x, p["v_proj"]).reshape(B, S, nkv, hd)
-        q = rms_norm(q, p["q_norm"], eps)
-        k = rms_norm(k, p["k_norm"], eps)
-        q = q.transpose(0, 2, 1, 3)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
+        q, k, v = _project_qkv(p, x, B, S, nq, nkv, hd, eps)
         q, k = apply_rotary(q, k, cos, sin)
 
         k_all = jax.lax.dynamic_update_slice(k_all, k[None], (idx, 0, 0, offset, 0))
@@ -319,13 +334,7 @@ def forward(
         h = h + _dense(attn, p["o_proj"])
 
         x = rms_norm(h, p["post_attention_layernorm"], eps)
-        if "gate_up_proj" in p:
-            gu = _dense(x, p["gate_up_proj"])
-            half = gu.shape[-1] // 2
-            gated = silu(gu[..., :half]) * gu[..., half:]
-        else:
-            gated = silu(_dense(x, p["gate_proj"])) * _dense(x, p["up_proj"])
-        h = h + _dense(gated, p["down_proj"])
+        h = h + _dense(_swiglu_mlp(p, x), p["down_proj"])
         return (h, k_all, v_all), None
 
     L = cfg.num_hidden_layers
@@ -372,18 +381,7 @@ def forward_batched_step(
         h, k_all, v_all = carry
         p, idx = xs
         x = rms_norm(h, p["input_layernorm"], eps)
-        if "qkv_proj" in p:
-            qkv = _dense(x, p["qkv_proj"])
-            q = qkv[..., : nq * hd].reshape(B, S, nq, hd)
-            k = qkv[..., nq * hd : (nq + nkv) * hd].reshape(B, S, nkv, hd)
-            v = qkv[..., (nq + nkv) * hd :].reshape(B, S, nkv, hd)
-        else:
-            q = _dense(x, p["q_proj"]).reshape(B, S, nq, hd)
-            k = _dense(x, p["k_proj"]).reshape(B, S, nkv, hd)
-            v = _dense(x, p["v_proj"]).reshape(B, S, nkv, hd)
-        q = rms_norm(q, p["q_norm"], eps).transpose(0, 2, 1, 3)
-        k = rms_norm(k, p["k_norm"], eps).transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
+        q, k, v = _project_qkv(p, x, B, S, nq, nkv, hd, eps)
         q, k = apply_rotary(q, k, cos, sin)
 
         # per-sequence scatter append: k_all[idx, b, :, offsets[b], :] = k
@@ -396,13 +394,7 @@ def forward_batched_step(
         h = h + _dense(attn, p["o_proj"])
 
         x = rms_norm(h, p["post_attention_layernorm"], eps)
-        if "gate_up_proj" in p:
-            gu = _dense(x, p["gate_up_proj"])
-            half = gu.shape[-1] // 2
-            gated = silu(gu[..., :half]) * gu[..., half:]
-        else:
-            gated = silu(_dense(x, p["gate_proj"])) * _dense(x, p["up_proj"])
-        h = h + _dense(gated, p["down_proj"])
+        h = h + _dense(_swiglu_mlp(p, x), p["down_proj"])
         return (h, k_all, v_all), None
 
     L = cfg.num_hidden_layers
@@ -435,29 +427,13 @@ def activation_stats(params: Params, cfg: TalkerConfig, inputs_embeds: jnp.ndarr
 
     def layer_fn(h, p):
         x = rms_norm(h, p["input_layernorm"], eps)
-        if "qkv_proj" in p:
-            qkv = _dense(x, p["qkv_proj"])
-            q = qkv[..., : nq * hd].reshape(B, S, nq, hd)
-            k = qkv[..., nq * hd : (nq + nkv) * hd].reshape(B, S, nkv, hd)
-            v = qkv[..., (nq + nkv) * hd :].reshape(B, S, nkv, hd)
-        else:
-            q = _dense(x, p["q_proj"]).reshape(B, S, nq, hd)
-            k = _dense(x, p["k_proj"]).reshape(B, S, nkv, hd)
-            v = _dense(x, p["v_proj"]).reshape(B, S, nkv, hd)
-        q = rms_norm(q, p["q_norm"], eps).transpose(0, 2, 1, 3)
-        k = rms_norm(k, p["k_norm"], eps).transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
+        q, k, v = _project_qkv(p, x, B, S, nq, nkv, hd, eps)
         q, k = apply_rotary(q, k, cos, sin)
         attn = _attend(q, k, v, mask, scale)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nq * hd)
         h = h + _dense(attn, p["o_proj"])
         x = rms_norm(h, p["post_attention_layernorm"], eps)
-        if "gate_up_proj" in p:
-            gu = _dense(x, p["gate_up_proj"])
-            half = gu.shape[-1] // 2
-            gated = silu(gu[..., :half]) * gu[..., half:]
-        else:
-            gated = silu(_dense(x, p["gate_proj"])) * _dense(x, p["up_proj"])
+        gated = _swiglu_mlp(p, x)
         act_max = jnp.max(jnp.abs(gated.astype(jnp.float32)), axis=(0, 1))
         h = h + _dense(gated, p["down_proj"])
         return h, act_max

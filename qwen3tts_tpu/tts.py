@@ -121,6 +121,8 @@ class Qwen3TTSModel:
         self.stream_chunk_frames = 25
         # optional ActivationProfiler (utils/profiler.py); set by the CLI
         self.activation_profiler = None
+        # wall time of the most recent prefill (prefill + first frame)
+        self._last_prefill_time = 0.0
 
     # ------------------------------------------------------------------
     # Loading
@@ -436,6 +438,7 @@ class Qwen3TTSModel:
             sampling=sampling,
         )
         key = jax.random.PRNGKey(seed)
+        t_prefill = time.time()
         carry = gen_mod.prefill_start(
             self.talker_params,
             self.cp_params,
@@ -449,6 +452,8 @@ class Qwen3TTSModel:
             key=key,
             **common,
         )
+        jax.block_until_ready(carry.tokens)
+        self._last_prefill_time = time.time() - t_prefill
         chunk = self.stream_chunk_frames if on_token else max_frames
         emitted = 0
         while True:
@@ -702,19 +707,47 @@ class Qwen3TTSModel:
         single-token decode is weight-bandwidth-bound, so N sequences share
         the same weight stream at near-constant step latency — throughput
         per chip scales with N. Returns one waveform per input text.
+
+        Unlike generate(), a sequence that samples EOS on its very first
+        frame yields an EMPTY waveform instead of raising — partial results
+        are preferable to failing the whole batch; check ``len(audio)``.
         """
         from .models import batch_generate as bg
 
         B = len(texts)
         if B == 0:
             return []
-        speakers = speakers or [None] * B
-        instructs = instructs or [None] * B
+        speakers = speakers if speakers is not None else [None] * B
+        instructs = instructs if instructs is not None else [None] * B
+        if len(speakers) != B or len(instructs) != B:
+            raise Qwen3TTSError(
+                f"generate_batch: texts ({B}), speakers ({len(speakers)}) and "
+                f"instructs ({len(instructs)}) must have equal lengths"
+            )
         mode = self.config.tts_model_type
         built = []
         for text, speaker, instruct in zip(texts, speakers, instructs):
-            if mode == "base":
-                instruct = None
+            # same per-mode validation as generate() (Qwen3.swift:1291-1373)
+            if mode == "voice_design":
+                if instruct is None:
+                    raise Qwen3TTSError(
+                        "VoiceDesign model requires 'instruct' for every text"
+                    )
+                speaker = None
+            elif mode in ("custom_voice", "base"):
+                if speaker is None:
+                    raise Qwen3TTSError(
+                        "CustomVoice/Base model requires 'speaker' for every "
+                        "text. Available speakers: "
+                        + ", ".join(self.supported_speakers)
+                    )
+                if speaker.lower() not in self.talker_cfg.speaker_ids:
+                    raise Qwen3TTSError(
+                        f"Speaker '{speaker}' not found. Available speakers: "
+                        + ", ".join(self.supported_speakers)
+                    )
+                if mode == "base":
+                    instruct = None
             embeds, trailing, pad = self._prepare_generation_inputs(
                 text, language=language, speaker=speaker, instruct=instruct
             )
@@ -820,14 +853,16 @@ class Qwen3TTSModel:
         for t in events:
             yield TokenEvent(t)
         total = time.time() - start
+        prefill_t = self._last_prefill_time
+        decode_t = max(total - prefill_t, 1e-9)
         prompt_tokens = len(self.tokenizer.encode(text)) if self.tokenizer else 0
         yield InfoEvent(
             GenerationInfo(
                 prompt_token_count=prompt_tokens,
                 generation_token_count=len(events),
-                prefill_time=0.0,
-                generate_time=total,
-                tokens_per_second=len(events) / total if total > 0 else 0.0,
+                prefill_time=prefill_t,
+                generate_time=decode_t,
+                tokens_per_second=len(events) / decode_t,
                 peak_memory_usage=_device_peak_memory_gb(),
             )
         )

@@ -204,3 +204,13 @@ class TestBatchAPI:
         # different speakers should give different audio
         n = min(out[0].shape[0], out[1].shape[0])
         assert not np.allclose(out[0][:n], out[1][:n])
+
+    def test_generate_batch_validates_lengths(self, model):
+        with pytest.raises(Qwen3TTSError, match="equal lengths"):
+            model.generate_batch(["a", "b", "c"], speakers=["Aiden", "Vivian"])
+
+    def test_generate_batch_validates_speakers(self, model):
+        with pytest.raises(Qwen3TTSError, match="requires 'speaker'"):
+            model.generate_batch(["a", "b"])
+        with pytest.raises(Qwen3TTSError, match="not found"):
+            model.generate_batch(["a"], speakers=["nobody"])
