@@ -84,26 +84,21 @@ def main() -> None:
         return tk.make_cache(cfg, 1, cache_len, jnp.bfloat16)
 
     def run_gen(seed):
-        carry = gen.prefill_start(
+        # the production non-streaming path: one fused device program
+        return gen.generate_codes_fused(
             talker_params, cp_params, talker_cfg=cfg, cp_cfg=cpc, sampling=sampling,
             prefill_embeds=prefill, prefill_len=jnp.int32(PREFILL_LEN),
             trailing_embeds=trailing, trailing_len=jnp.int32(12),
-            tts_pad_embed=tts_pad, cache=make_cache(), max_frames=max_frames,
-            key=jax.random.PRNGKey(seed),
+            tts_pad_embed=tts_pad, cache=make_cache(), max_steps=jnp.int32(FRAMES),
+            max_frames=max_frames, key=jax.random.PRNGKey(seed),
         )
-        carry = gen.generate_chunk(
-            talker_params, cp_params, carry, talker_cfg=cfg, cp_cfg=cpc,
-            sampling=sampling, trailing_embeds=trailing, trailing_len=jnp.int32(12),
-            tts_pad_embed=tts_pad, until_step=jnp.int32(FRAMES),
-        )
-        return carry
 
     # ---- warmup / compile ----
     t0 = time.time()
     carry = run_gen(0)
     jax.block_until_ready(carry.codes)
     log(f"generation compile+first run: {time.time() - t0:.1f}s "
-        f"({int(carry.step)} frames)")
+        f"({int(carry.n_frames)} frames)")
 
     codes_buf = carry.codes[None]  # [1, 128, 16]
     t0 = time.time()
@@ -112,6 +107,15 @@ def main() -> None:
     log(f"vocoder compile+first run: {time.time() - t0:.1f}s")
 
     # ---- TTFT (prefill + first frame, steady state) ----
+    # warm the prefill program (the timed loop uses the fused one-shot)
+    warm = gen.prefill_start(
+        talker_params, cp_params, talker_cfg=cfg, cp_cfg=cpc, sampling=sampling,
+        prefill_embeds=prefill, prefill_len=jnp.int32(PREFILL_LEN),
+        trailing_embeds=trailing, trailing_len=jnp.int32(12),
+        tts_pad_embed=tts_pad, cache=make_cache(), max_frames=max_frames,
+        key=jax.random.PRNGKey(4),
+    )
+    jax.block_until_ready(warm.tokens)
     t0 = time.time()
     c1 = gen.prefill_start(
         talker_params, cp_params, talker_cfg=cfg, cp_cfg=cpc, sampling=sampling,
@@ -132,7 +136,7 @@ def main() -> None:
         c = run_gen(10 + i)
         jax.block_until_ready(c.codes)
         gen_times.append(time.time() - t0)
-        frames_done.append(int(c.step))
+        frames_done.append(int(c.n_frames))
         t0 = time.time()
         wav, lengths = vc.decode(voc_params, vcfg, c.codes[None], jnp.int32(FRAMES))
         jax.block_until_ready(wav)

@@ -305,6 +305,16 @@ def generate_codes(
     return GenResult(codes=carry.codes, n_frames=carry.step, tokens=carry.tokens)
 
 
+# Non-streaming fast path: the whole utterance (prefill + full while_loop)
+# as ONE compiled program — saves a device dispatch round-trip per utterance
+# vs the prefill_start/generate_chunk pair (the tunnel RTT is material here).
+generate_codes_fused = functools.partial(
+    jax.jit,
+    static_argnames=("talker_cfg", "cp_cfg", "sampling", "max_frames"),
+    donate_argnames=("cache",),
+)(generate_codes)
+
+
 def pad_to_bucket(length: int, buckets=(64, 128, 256, 384, 512, 768, 1024, 1536, 2048)):
     """Smallest bucket >= length (bounds jit recompiles across prompt sizes)."""
     for b in buckets:

@@ -438,6 +438,33 @@ class Qwen3TTSModel:
             sampling=sampling,
         )
         key = jax.random.PRNGKey(seed)
+        if on_token is None:
+            # non-streaming: the whole utterance as one device program
+            res = gen_mod.generate_codes_fused(
+                self.talker_params,
+                self.cp_params,
+                **common,
+                prefill_embeds=prefill,
+                prefill_len=jnp.int32(p_len),
+                trailing_embeds=trailing_p,
+                trailing_len=jnp.int32(t_len),
+                tts_pad_embed=tts_pad.astype(self.dtype),
+                cache=cache,
+                max_steps=jnp.int32(max_steps),
+                max_frames=max_frames,
+                key=key,
+            )
+            n = int(res.n_frames)
+            if n == 0:
+                raise Qwen3TTSError("No tokens generated")
+            codes = np.asarray(res.codes)
+            if (
+                self.activation_profiler is not None
+                and self.activation_profiler.is_enabled
+            ):
+                self._profile_replay(input_embeds, trailing, tts_pad, codes, n)
+            return codes, n
+
         t_prefill = time.time()
         carry = gen_mod.prefill_start(
             self.talker_params,
@@ -454,15 +481,14 @@ class Qwen3TTSModel:
         )
         jax.block_until_ready(carry.tokens)
         self._last_prefill_time = time.time() - t_prefill
-        chunk = self.stream_chunk_frames if on_token else max_frames
+        chunk = self.stream_chunk_frames
         emitted = 0
         while True:
-            if on_token:
-                tokens = np.asarray(carry.tokens[: int(carry.step)])
-                for t in tokens[emitted:]:
-                    if t >= 0:
-                        on_token(int(t))
-                emitted = len(tokens)
+            tokens = np.asarray(carry.tokens[: int(carry.step)])
+            for t in tokens[emitted:]:
+                if t >= 0:
+                    on_token(int(t))
+            emitted = len(tokens)
             if bool(carry.eos) or int(carry.step) >= max_steps:
                 break
             carry = gen_mod.generate_chunk(
