@@ -295,14 +295,18 @@ def forward(
 
     import os
 
-    # the prefix-streaming kernel wins when the cache is long (it reads
-    # ~pos rows instead of T_max); at short caches the XLA full-read path
-    # has less per-layer overhead — measured crossover around 1k rows
+    # Prefix-streaming kernel economics (measured on v5e at 0.6B, T=4096):
+    # wins while pos << T_max (2.28 vs 2.81 ms/step at pos~64) but loses
+    # when the prefix fills the cache (4.89 vs 2.83 at pos~3900 — its
+    # per-head 128-row DMAs are latency-bound vs XLA's bulk read). It pays
+    # off for servers with large FIXED caches and short typical prefixes;
+    # per-utterance right-sized caches (what tts.py allocates) are better
+    # served by the XLA path, hence the high threshold.
     use_attn_kernel = (
         S == 1
         and B == 1
         and T_max % 128 == 0
-        and T_max >= 1024
+        and T_max >= 4096
         and jax.devices()[0].platform in ("tpu", "axon")
         and not os.environ.get("QWEN3TTS_NO_PALLAS_ATTN")
     )
