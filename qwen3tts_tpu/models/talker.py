@@ -248,13 +248,10 @@ def _attend(q, k, v, mask, scale):
     scores = jnp.einsum(
         "bhgsd,bhtd->bhgst", qg, k, preferred_element_type=jnp.float32
     ) * scale
-    scores = jnp.where(mask[:, None, None], scores, NEG_INF_F32)
+    scores = jnp.where(mask[:, None, None], scores, np.float32(-1e30))
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhgst,bhtd->bhgsd", probs, v, preferred_element_type=jnp.float32)
     return out.reshape(B, Hq, S, D).astype(q.dtype)
-
-
-NEG_INF_F32 = jnp.float32(-1e30)
 
 
 def forward(
