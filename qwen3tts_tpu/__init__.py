@@ -18,6 +18,7 @@ from .config import (
 )
 
 from .tts import (
+    AudioChunkEvent,
     AudioEvent,
     GenerationInfo,
     InfoEvent,

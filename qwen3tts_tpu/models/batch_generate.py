@@ -64,6 +64,7 @@ def _sample_batch(key, logits, sampling, seen, suppress_mask, eos_id):
         temperature=sampling.temperature,
         top_k=sampling.top_k,
         top_p=sampling.top_p,
+        ref_exact_top_p=sampling.ref_exact_top_p,
         repetition_penalty=sampling.repetition_penalty,
         seen=seen,
         suppress_mask=suppress_mask,
@@ -92,6 +93,7 @@ def _frame_batch(
         cp_params, cp_cfg, talker_params, hidden_last,
         jnp.where(is_eos, 0, code0), k_cp,
         temperature=sampling.temperature, top_k=sampling.top_k, top_p=sampling.top_p,
+        ref_exact_top_p=sampling.ref_exact_top_p,
     )
     return code0, rest, is_eos, seen, key
 

@@ -183,6 +183,7 @@ def predict_codes(
     temperature: float,
     top_k: int,
     top_p: float,
+    ref_exact_top_p: bool = False,
 ) -> jnp.ndarray:
     """Generate codebooks 2..16 for one frame, fully on device.
 
@@ -196,7 +197,8 @@ def predict_codes(
 
     def sample(logits, k):
         return sample_token_inner(
-            k, logits, temperature=temperature, top_k=top_k, top_p=top_p
+            k, logits, temperature=temperature, top_k=top_k, top_p=top_p,
+            ref_exact_top_p=ref_exact_top_p,
         )
 
     # prefill: [hidden, embed(code0)]

@@ -43,13 +43,16 @@ class SamplingConfig(NamedTuple):
     """Static sampling hyper-parameters (hashable; part of the jit key).
 
     ``forbid_eos`` suppresses the EOS token entirely (benchmarking: forces
-    generation to run to the step cap regardless of weights)."""
+    generation to run to the step cap regardless of weights).
+    ``ref_exact_top_p`` reproduces the reference's unnormalized-exp top-p
+    (Qwen3.swift:92-117) for bit-parity runs."""
 
     temperature: float = 0.9
     top_k: int = 50
     top_p: float = 1.0
     repetition_penalty: float = 1.05
     forbid_eos: bool = False
+    ref_exact_top_p: bool = False
 
 
 class GenCarry(NamedTuple):
@@ -87,7 +90,13 @@ def _frame(
     """Sample codebook 0 + run the code predictor for one frame.
 
     Returns (code0 [B], rest [B,15], is_eos scalar bool, seen', key').
+    B must be 1: ``seen``/``is_eos`` bookkeeping reads index 0 only (the
+    batched path lives in batch_generate.py with per-sequence state).
     """
+    assert hidden_last.shape[0] == 1, (
+        f"_frame is single-sequence (B=1), got B={hidden_last.shape[0]}; "
+        "use models/batch_generate.py for batched decoding"
+    )
     key, k_tok, k_cp = jax.random.split(key, 3)
     eos_id = talker_cfg.codec_eos_token_id
     if sampling.forbid_eos:
@@ -102,6 +111,7 @@ def _frame(
         seen=seen,
         suppress_mask=suppress_mask,
         eos_token_id=None if sampling.forbid_eos else eos_id,
+        ref_exact_top_p=sampling.ref_exact_top_p,
     )  # [B]
     seen = seen.at[code0[0]].set(True)
     is_eos = code0[0] == eos_id
@@ -119,6 +129,7 @@ def _frame(
             temperature=sampling.temperature,
             top_k=sampling.top_k,
             top_p=sampling.top_p,
+            ref_exact_top_p=sampling.ref_exact_top_p,
         ),
     )
     return code0, rest, is_eos, seen, key

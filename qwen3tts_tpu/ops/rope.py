@@ -18,7 +18,6 @@ streams XLA folds the selects away.
 
 from __future__ import annotations
 
-import functools
 
 import jax.numpy as jnp
 import numpy as np
@@ -28,11 +27,6 @@ def inv_freq(head_dim: int, base: float) -> np.ndarray:
     """1 / base**(2i/d) for i in [0, d/2), float32, computed host-side once."""
     idx = np.arange(0, head_dim, 2, dtype=np.float32)
     return (1.0 / (base ** (idx / head_dim))).astype(np.float32)
-
-
-@functools.partial(np.vectorize, signature="(n)->(n)", excluded={1, 2})
-def _unused(x, *_):  # pragma: no cover
-    return x
 
 
 def mrope_interleave_masks(head_dim_half: int, mrope_section: tuple[int, ...]):

@@ -19,8 +19,11 @@ identical (the penalty is applied to the set of unique generated ids).
 
 The reference's top-p cumulates un-normalized ``exp(logits)``
 (Qwen3.swift:92-117), which only matches nucleus sampling when the logits
-are log-probabilities; we use a proper softmax. Default top_p == 1.0
-disables the filter in both implementations.
+are log-probabilities; we use a proper softmax by default. For bit-parity
+runs against the reference, pass ``ref_exact_top_p=True`` (exposed as
+``SamplingConfig.ref_exact_top_p`` and ``Qwen3TTSModel.ref_exact_top_p``)
+to reproduce the reference's unnormalized cumsum exactly. Default
+top_p == 1.0 disables the filter in both implementations.
 """
 
 from __future__ import annotations
@@ -42,11 +45,20 @@ def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.where(logits >= thresh, logits, NEG_INF)
 
 
-def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
-    """Nucleus filter: keep the smallest set of tokens with mass >= p."""
+def apply_top_p(logits: jnp.ndarray, p: float, ref_exact: bool = False) -> jnp.ndarray:
+    """Nucleus filter: keep the smallest set of tokens with mass >= p.
+
+    ``ref_exact`` reproduces the reference's behavior bit-for-bit: it
+    cumulates UNNORMALIZED exp(logits) and compares against the absolute
+    threshold (1 - p) (reference Qwen3.swift:92-117) — only meaningful when
+    chasing bit-comparable output against the Swift/MLX implementation.
+    """
     if p <= 0.0 or p >= 1.0:
         return logits
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if ref_exact:
+        probs = jnp.exp(logits.astype(jnp.float32))
+    else:
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     order = jnp.argsort(logits, axis=-1)  # ascending
     sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
     cum = jnp.cumsum(sorted_probs, axis=-1)
@@ -104,6 +116,7 @@ def sample_token_inner(
     seen: jnp.ndarray | None = None,
     suppress_mask: jnp.ndarray | None = None,
     eos_token_id: int | None = None,
+    ref_exact_top_p: bool = False,
 ) -> jnp.ndarray:
     """Un-jitted sampler body, for composition inside larger jitted loops."""
     logits = logits.astype(jnp.float32)
@@ -120,7 +133,7 @@ def sample_token_inner(
         eos_logit = logits[..., eos_token_id]
 
     logits = apply_top_k(logits, top_k)
-    logits = apply_top_p(logits, top_p)
+    logits = apply_top_p(logits, top_p, ref_exact=ref_exact_top_p)
 
     if eos_token_id is not None:
         logits = logits.at[..., eos_token_id].set(eos_logit)

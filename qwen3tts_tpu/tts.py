@@ -81,6 +81,21 @@ class AudioEvent:
     audio: np.ndarray
 
 
+@dataclass
+class AudioChunkEvent:
+    """Incremental PCM for frames [frame_offset, frame_offset + n_frames).
+
+    Extension beyond the reference (which only delivers the final waveform,
+    Qwen3+Streaming.swift:118-120): opt in via
+    ``generate_stream(..., audio_chunk_frames=N)``. Chunks concatenate into
+    a coherent waveform; the final AudioEvent still carries the exact
+    full-utterance decode.
+    """
+
+    audio: np.ndarray
+    frame_offset: int
+
+
 def _device_peak_memory_gb() -> float:
     try:
         stats = jax.local_devices()[0].memory_stats()
@@ -123,6 +138,11 @@ class Qwen3TTSModel:
         self.activation_profiler = None
         # wall time of the most recent prefill (prefill + first frame)
         self._last_prefill_time = 0.0
+        # reproduce the reference's unnormalized-exp top-p bit-for-bit
+        # (Qwen3.swift:92-117) instead of proper nucleus sampling
+        self.ref_exact_top_p = False
+        # GenerationInfo of the most recent generate*/generate_stream call
+        self.last_info: GenerationInfo | None = None
 
     # ------------------------------------------------------------------
     # Loading
@@ -404,20 +424,19 @@ class Qwen3TTSModel:
         n = len(self.tokenizer.encode(text)) if self.tokenizer else len(text)
         return min(max_tokens, max(75, n * 6))
 
-    def _run_generation(
-        self,
-        input_embeds: jnp.ndarray,
-        trailing: jnp.ndarray,
-        tts_pad: jnp.ndarray,
-        *,
-        sampling: SamplingConfig,
-        max_steps: int,
-        seed: int,
-        on_token: Callable[[int], None] | None = None,
-    ) -> tuple[np.ndarray, int]:
-        """Bucketed prefill + fused decode; returns (codes [n,16], n_frames)."""
-        if self.cp_params is None or self.cp_cfg is None:
-            raise Qwen3TTSError("Code predictor not available")
+    def _sampling(
+        self, temperature: float, top_k: int, top_p: float, repetition_penalty: float
+    ) -> SamplingConfig:
+        return SamplingConfig(
+            temperature,
+            top_k,
+            top_p,
+            repetition_penalty,
+            ref_exact_top_p=self.ref_exact_top_p,
+        )
+
+    def _prep_run(self, input_embeds, trailing, tts_pad, max_steps: int) -> dict:
+        """Bucket/pad prompt + trailing streams, allocate the KV cache."""
         p_len = input_embeds.shape[1]
         p_bucket = pad_to_bucket(p_len)
         prefill = jnp.pad(
@@ -432,6 +451,42 @@ class Qwen3TTSModel:
         # (128-row blocks) is eligible
         cache_len = -(-(p_bucket + max_frames) // 128) * 128
         cache = tk_mod.make_cache(self.talker_cfg, 1, cache_len, self.dtype)
+        return dict(
+            prefill_embeds=prefill,
+            prefill_len=jnp.int32(p_len),
+            trailing_embeds=trailing_p,
+            trailing_len=jnp.int32(t_len),
+            tts_pad_embed=tts_pad.astype(self.dtype),
+            cache=cache,
+            max_frames=max_frames,
+        )
+
+    def _set_info(self, n_tokens: int, prompt_tokens: int, prefill_t: float, gen_t: float):
+        self.last_info = GenerationInfo(
+            prompt_token_count=prompt_tokens,
+            generation_token_count=n_tokens,
+            prefill_time=prefill_t,
+            generate_time=gen_t,
+            tokens_per_second=n_tokens / max(gen_t, 1e-9),
+            peak_memory_usage=_device_peak_memory_gb(),
+        )
+        return self.last_info
+
+    def _run_generation(
+        self,
+        input_embeds: jnp.ndarray,
+        trailing: jnp.ndarray,
+        tts_pad: jnp.ndarray,
+        *,
+        sampling: SamplingConfig,
+        max_steps: int,
+        seed: int,
+        on_token: Callable[[int], None] | None = None,
+    ) -> tuple[np.ndarray, int]:
+        """Bucketed prefill + fused decode; returns (codes [n,16], n_frames)."""
+        if self.cp_params is None or self.cp_cfg is None:
+            raise Qwen3TTSError("Code predictor not available")
+        prep = self._prep_run(input_embeds, trailing, tts_pad, max_steps)
         common = dict(
             talker_cfg=self.talker_cfg,
             cp_cfg=self.cp_cfg,
@@ -440,23 +495,22 @@ class Qwen3TTSModel:
         key = jax.random.PRNGKey(seed)
         if on_token is None:
             # non-streaming: the whole utterance as one device program
+            t0 = time.time()
             res = gen_mod.generate_codes_fused(
                 self.talker_params,
                 self.cp_params,
                 **common,
-                prefill_embeds=prefill,
-                prefill_len=jnp.int32(p_len),
-                trailing_embeds=trailing_p,
-                trailing_len=jnp.int32(t_len),
-                tts_pad_embed=tts_pad.astype(self.dtype),
-                cache=cache,
+                **prep,
                 max_steps=jnp.int32(max_steps),
-                max_frames=max_frames,
                 key=key,
             )
             n = int(res.n_frames)
+            gen_t = time.time() - t0
             if n == 0:
                 raise Qwen3TTSError("No tokens generated")
+            # prefill is fused into the same program; report it as 0 rather
+            # than guessing (the chunked/streaming path reports it measured)
+            self._set_info(n, input_embeds.shape[1], 0.0, gen_t)
             codes = np.asarray(res.codes)
             if (
                 self.activation_profiler is not None
@@ -465,49 +519,72 @@ class Qwen3TTSModel:
                 self._profile_replay(input_embeds, trailing, tts_pad, codes, n)
             return codes, n
 
-        t_prefill = time.time()
+        t0 = time.time()
+        codes = None
+        n = 0
+        for new_tokens, step, codes_np, done in self._stream_codes(
+            prep, sampling, max_steps, seed
+        ):
+            for t in new_tokens:
+                on_token(t)
+            if done:
+                codes, n = codes_np, step
+        if n == 0:
+            raise Qwen3TTSError("No tokens generated")
+        self._set_info(
+            n, input_embeds.shape[1], self._last_prefill_time,
+            time.time() - t0 - self._last_prefill_time,
+        )
+        if self.activation_profiler is not None and self.activation_profiler.is_enabled:
+            self._profile_replay(input_embeds, trailing, tts_pad, codes, n)
+        return codes, n
+
+    def _stream_codes(self, prep: dict, sampling: SamplingConfig, max_steps: int, seed: int):
+        """Drive prefill_start + generate_chunk; yield between device chunks.
+
+        Yields (new_tokens, total_frames, codes [max_frames,16] np, done) —
+        the host reads token/code buffers back between chunks, so consumers
+        observe tokens WHILE the utterance is still being generated (no host
+        callbacks; the tunneled TPU backend cannot run io_callback).
+        """
+        common = dict(
+            talker_cfg=self.talker_cfg, cp_cfg=self.cp_cfg, sampling=sampling
+        )
+        chunk_args = dict(
+            trailing_embeds=prep["trailing_embeds"],
+            trailing_len=prep["trailing_len"],
+            tts_pad_embed=prep["tts_pad_embed"],
+        )
+        t0 = time.time()
         carry = gen_mod.prefill_start(
             self.talker_params,
             self.cp_params,
-            prefill_embeds=prefill,
-            prefill_len=jnp.int32(p_len),
-            trailing_embeds=trailing_p,
-            trailing_len=jnp.int32(t_len),
-            tts_pad_embed=tts_pad.astype(self.dtype),
-            cache=cache,
-            max_frames=max_frames,
-            key=key,
             **common,
+            **prep,
+            key=jax.random.PRNGKey(seed),
         )
         jax.block_until_ready(carry.tokens)
-        self._last_prefill_time = time.time() - t_prefill
+        self._last_prefill_time = time.time() - t0
         chunk = self.stream_chunk_frames
         emitted = 0
         while True:
-            tokens = np.asarray(carry.tokens[: int(carry.step)])
-            for t in tokens[emitted:]:
-                if t >= 0:
-                    on_token(int(t))
-            emitted = len(tokens)
-            if bool(carry.eos) or int(carry.step) >= max_steps:
-                break
+            step = int(carry.step)
+            done = bool(carry.eos) or step >= max_steps
+            tokens = np.asarray(carry.tokens[:step])
+            new = [int(t) for t in tokens[emitted:] if t >= 0]
+            emitted = step
+            yield new, step, np.asarray(carry.codes), done
+            if done:
+                return
+            # generate_chunk donates `carry`; everything needed was read above
             carry = gen_mod.generate_chunk(
                 self.talker_params,
                 self.cp_params,
                 carry,
-                trailing_embeds=trailing_p,
-                trailing_len=jnp.int32(t_len),
-                tts_pad_embed=tts_pad.astype(self.dtype),
-                until_step=jnp.int32(min(int(carry.step) + chunk, max_steps)),
+                **chunk_args,
+                until_step=jnp.int32(min(step + chunk, max_steps)),
                 **common,
             )
-        n = int(carry.step)
-        if n == 0:
-            raise Qwen3TTSError("No tokens generated")
-        codes = np.asarray(carry.codes)
-        if self.activation_profiler is not None and self.activation_profiler.is_enabled:
-            self._profile_replay(input_embeds, trailing, tts_pad, codes, n)
-        return codes, n
 
     def _profile_replay(self, input_embeds, trailing, tts_pad, codes, n: int):
         """Replay the generated sequence (teacher forcing) to collect
@@ -678,8 +755,16 @@ class Qwen3TTSModel:
         max_tokens: int = 2048,
         seed: int = 0,
         on_token: Callable[[int], None] | None = None,
-    ) -> np.ndarray:
-        """Route by model type (reference Qwen3.swift:1291-1373)."""
+        return_info: bool = False,
+    ) -> np.ndarray | tuple[np.ndarray, GenerationInfo]:
+        """Route by model type (reference Qwen3.swift:1291-1373).
+
+        ``return_info=True`` returns (audio, GenerationInfo) — token counts,
+        prefill/generate times, tok/s, peak device memory (the reference only
+        surfaces these through the streaming path,
+        Core/GenerationTypes.swift:15-46). ``self.last_info`` is populated on
+        every call either way.
+        """
         kwargs = dict(
             language=language,
             temperature=temperature,
@@ -697,22 +782,24 @@ class Qwen3TTSModel:
                     "VoiceDesign model requires 'instruct' to describe the voice "
                     "(e.g., 'A cheerful young female voice with high pitch')"
                 )
-            return self.generate_voice_design(text, instruct=instruct, **kwargs)
-        if mode == "custom_voice":
+            audio = self.generate_voice_design(text, instruct=instruct, **kwargs)
+        elif mode == "custom_voice":
             if speaker is None:
                 raise Qwen3TTSError(
                     "CustomVoice model requires 'speaker'. Available speakers: "
                     + ", ".join(self.supported_speakers)
                 )
-            return self.generate_custom_voice(text, speaker, instruct=instruct, **kwargs)
-        if mode == "base":
+            audio = self.generate_custom_voice(text, speaker, instruct=instruct, **kwargs)
+        elif mode == "base":
             if speaker is None:
                 raise Qwen3TTSError(
                     "Base model requires 'speaker'. Available speakers: "
                     + ", ".join(self.supported_speakers)
                 )
-            return self.generate_custom_voice(text, speaker, instruct=None, **kwargs)
-        return self.generate_voice_design(text, instruct=instruct, **kwargs)
+            audio = self.generate_custom_voice(text, speaker, instruct=None, **kwargs)
+        else:
+            audio = self.generate_voice_design(text, instruct=instruct, **kwargs)
+        return (audio, self.last_info) if return_info else audio
 
     def generate_batch(
         self,
@@ -839,6 +926,65 @@ class Qwen3TTSModel:
             out.append(samples)
         return out
 
+    def _route_stream_inputs(self, text, speaker, instruct, language):
+        """Mode routing + validation for streaming (mirrors generate())."""
+        mode = self.config.tts_model_type
+        if mode == "voice_design":
+            if instruct is None:
+                raise Qwen3TTSError(
+                    "VoiceDesign model requires 'instruct' to describe the voice "
+                    "(e.g., 'A cheerful young female voice with high pitch')"
+                )
+            speaker = None
+        elif mode in ("custom_voice", "base"):
+            if speaker is None:
+                raise Qwen3TTSError(
+                    f"{'CustomVoice' if mode == 'custom_voice' else 'Base'} model "
+                    "requires 'speaker'. Available speakers: "
+                    + ", ".join(self.supported_speakers)
+                )
+            if speaker.lower() not in self.talker_cfg.speaker_ids:
+                raise Qwen3TTSError(
+                    f"Speaker '{speaker}' not found. Available speakers: "
+                    + ", ".join(self.supported_speakers)
+                )
+            if mode == "base":
+                instruct = None
+        return self._prepare_generation_inputs(
+            text, language=language, speaker=speaker, instruct=instruct
+        )
+
+    # frames of PCM held back while the bidirectional pre-transformer can
+    # still see new right-context, and causal-conv left-context frames
+    # re-decoded per window (see _decode_audio_window)
+    STREAM_LOOKAHEAD_FRAMES = 8
+    STREAM_CTX_FRAMES = 32
+
+    def _decode_audio_window(
+        self, codes: np.ndarray, start_f: int, end_f: int, n_valid: int
+    ) -> np.ndarray:
+        """Decode PCM for frames [start_f, end_f) from codes[:n_valid].
+
+        Windowed incremental vocoding: the window starts STREAM_CTX_FRAMES
+        early so every causal conv is warmed up with real history, and runs
+        through frame n_valid so the bidirectional pre-transformer
+        (models/vocoder.py:207-251) sees all frames generated so far. The
+        causal tail is exact; pre-transformer outputs are approximate only
+        within STREAM_LOOKAHEAD_FRAMES of the window end, which the caller
+        holds back until more frames arrive.
+        """
+        dec_cfg = self.tokenizer_config.decoder_config
+        s = max(0, start_f - self.STREAM_CTX_FRAMES)
+        w = n_valid - s
+        bucket = pad_to_bucket(w, GEN_BUCKETS)
+        buf = np.zeros((1, bucket, dec_cfg.num_quantizers), np.int32)
+        buf[0, :w] = codes[s:n_valid]
+        wav, _ = vc_mod.decode(
+            self.vocoder_params, dec_cfg, jnp.asarray(buf), jnp.int32(w)
+        )
+        up = dec_cfg.total_upsample
+        return np.asarray(wav[0][(start_f - s) * up : (end_f - s) * up])
+
     def generate_stream(
         self,
         text: str,
@@ -851,48 +997,59 @@ class Qwen3TTSModel:
         repetition_penalty: float = 1.05,
         max_tokens: int = 2048,
         seed: int = 0,
-    ) -> Iterator[TokenEvent | InfoEvent | AudioEvent]:
+        audio_chunk_frames: int | None = None,
+    ) -> Iterator[TokenEvent | AudioChunkEvent | InfoEvent | AudioEvent]:
         """Streaming generation (reference Qwen3+Streaming.swift:8-126).
 
-        Yields TokenEvent per first-codebook token (read back between fused
-        device chunks), then one InfoEvent, then one final AudioEvent —
-        exactly the reference event contract.
+        Yields TokenEvent per first-codebook token WHILE the utterance is
+        being generated (tokens are read back between fused device chunks of
+        ``stream_chunk_frames``), then one InfoEvent, then one final
+        AudioEvent — the reference event contract.
+
+        ``audio_chunk_frames=N`` additionally yields AudioChunkEvent with
+        incremental PCM roughly every N frames (N*80 ms of audio) —
+        a capability the reference lacks (its README pins "final audio
+        only", README.md:140). Chunks concatenate into a coherent waveform;
+        the closing AudioEvent still carries the exact full decode.
         """
-        events: list[int] = []
-        start = time.time()
-        audio = self.generate(
-            text,
-            speaker=speaker,
-            instruct=instruct,
-            language=language,
-            temperature=temperature,
-            top_k=top_k,
-            top_p=top_p,
-            repetition_penalty=repetition_penalty,
-            max_tokens=max_tokens,
-            seed=seed,
-            on_token=events.append,
+        if self.vocoder_params is None or self.tokenizer_config is None:
+            raise Qwen3TTSError("Speech tokenizer not loaded")
+        embeds, trailing, pad = self._route_stream_inputs(
+            text, speaker, instruct, language
         )
-        # NOTE: tokens are buffered per chunk; a generator-based relay keeps
-        # the reference's event ordering. For callback-style consumption use
-        # generate(..., on_token=...) which fires between device chunks.
-        for t in events:
-            yield TokenEvent(t)
+        sampling = self._sampling(temperature, top_k, top_p, repetition_penalty)
+        max_steps = self._effective_max_tokens(text, max_tokens)
+        prep = self._prep_run(embeds, trailing, pad, max_steps)
+
+        start = time.time()
+        n_final = 0
+        codes_final: np.ndarray | None = None
+        audio_emitted = 0  # frames whose PCM has been yielded
+        for new_tokens, step, codes, done in self._stream_codes(
+            prep, sampling, max_steps, seed
+        ):
+            for t in new_tokens:
+                yield TokenEvent(t)
+            if audio_chunk_frames and step > 0:
+                upto = step if done else max(step - self.STREAM_LOOKAHEAD_FRAMES, 0)
+                if upto - audio_emitted >= (1 if done else audio_chunk_frames):
+                    pcm = self._decode_audio_window(codes, audio_emitted, upto, step)
+                    yield AudioChunkEvent(pcm, audio_emitted)
+                    audio_emitted = upto
+            if done:
+                n_final, codes_final = step, codes
+        if n_final == 0:
+            raise Qwen3TTSError("No tokens generated")
+
         total = time.time() - start
         prefill_t = self._last_prefill_time
-        decode_t = max(total - prefill_t, 1e-9)
         prompt_tokens = len(self.tokenizer.encode(text)) if self.tokenizer else 0
         yield InfoEvent(
-            GenerationInfo(
-                prompt_token_count=prompt_tokens,
-                generation_token_count=len(events),
-                prefill_time=prefill_t,
-                generate_time=decode_t,
-                tokens_per_second=len(events) / decode_t,
-                peak_memory_usage=_device_peak_memory_gb(),
+            self._set_info(
+                n_final, prompt_tokens, prefill_t, max(total - prefill_t, 1e-9)
             )
         )
-        yield AudioEvent(audio)
+        yield AudioEvent(self._decode_audio(codes_final, n_final))
 
     # ------------------------------------------------------------------
     # Speaker embedding extraction (reference Qwen3.swift:222-249)

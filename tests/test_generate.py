@@ -114,7 +114,10 @@ class TestGenerateLoop:
         np.testing.assert_array_equal(r1.codes, r2.codes)  # same key -> same result
         n = int(r1.n_frames)
         c = np.asarray(r1.codes)[:n]
-        assert (c[:, 0] < 2048).all() or (c[:, 0] == TINY_TALKER.codec_eos_token_id).any() is False
+        # every recorded frame's codebook-0 token must be a real codec code
+        # (EOS frames are never recorded — _record skips them)
+        assert (c[:, 0] < 2048).all()
+        assert not (c[:, 0] == TINY_TALKER.codec_eos_token_id).any()
         assert (c >= 0).all()
 
     def test_chunked_generation_matches_one_shot(self, params):

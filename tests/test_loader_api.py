@@ -129,6 +129,71 @@ class TestPublicAPI:
         assert info.generation_token_count == len(kinds) - 2
         assert events[-1].audio.shape[0] > 0
 
+    def test_stream_tokens_are_live(self, model, monkeypatch):
+        """TokenEvents must arrive BEFORE any vocoder work happens — the
+        consumer sees tokens while the utterance is still being generated
+        (round-1 buffered the whole synthesis before yielding anything)."""
+        import qwen3tts_tpu.tts as tts_mod
+
+        calls = []
+        orig = tts_mod.vc_mod.decode
+        monkeypatch.setattr(
+            tts_mod.vc_mod, "decode", lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+        )
+        model.stream_chunk_frames = 2
+        model.last_info = None
+        try:
+            it = model.generate_stream(
+                "Live stream check", speaker="Aiden", max_tokens=8, seed=1
+            )
+            first = next(it)
+            assert isinstance(first, TokenEvent)
+            assert not calls, "vocoder ran before the first TokenEvent"
+            assert model.last_info is None, "info built before tokens streamed"
+            rest = list(it)
+        finally:
+            model.stream_chunk_frames = 25
+        kinds = [type(e).__name__ for e in [first] + rest]
+        assert kinds[-2:] == ["InfoEvent", "AudioEvent"]
+        assert calls, "final audio decode never happened"
+
+    def test_stream_audio_chunks(self, model):
+        """audio_chunk_frames yields incremental PCM that tiles the
+        utterance contiguously, before the final exact AudioEvent."""
+        from qwen3tts_tpu.tts import AudioChunkEvent
+
+        model.stream_chunk_frames = 3
+        try:
+            events = list(
+                model.generate_stream(
+                    "Chunked audio stream", speaker="Aiden", max_tokens=10,
+                    seed=4, audio_chunk_frames=2,
+                )
+            )
+        finally:
+            model.stream_chunk_frames = 25
+        chunks = [e for e in events if isinstance(e, AudioChunkEvent)]
+        final = events[-1]
+        assert isinstance(final, AudioEvent)
+        assert chunks, "expected incremental PCM chunks"
+        assert events.index(chunks[0]) < events.index(final)
+        n = next(e for e in events if isinstance(e, InfoEvent)).info.generation_token_count
+        pcm = np.concatenate([c.audio for c in chunks])
+        assert pcm.shape[0] == n * 1920
+        assert np.isfinite(pcm).all() and np.abs(pcm).max() <= 1.0
+        assert chunks[0].frame_offset == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.frame_offset * 1920 == a.frame_offset * 1920 + a.audio.shape[0]
+
+    def test_generate_return_info(self, model):
+        audio, info = model.generate(
+            "Info check", speaker="Aiden", max_tokens=6, seed=5, return_info=True
+        )
+        assert audio.shape[0] > 0
+        assert info is model.last_info
+        assert info.generation_token_count >= 1
+        assert info.tokens_per_second > 0
+
     def test_on_token_callback_streams_during_generate(self, model):
         seen = []
         model.stream_chunk_frames = 2

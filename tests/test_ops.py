@@ -117,6 +117,19 @@ class TestSampling:
             )
             assert int(tok[0]) in (2, 3)
 
+    def test_ref_exact_top_p_matches_reference_math(self):
+        """ref_exact mode cumulates UNNORMALIZED exp(logits) against the
+        absolute threshold 1-p (reference Qwen3.swift:92-117), which keeps a
+        different set than proper nucleus when sum(exp) != 1."""
+        # exp(logits) = [0.2, 0.3, 1.5]; ascending cumsum = [0.2, 0.5, 2.0]
+        logits = jnp.log(jnp.asarray([[0.2, 0.3, 1.5]]))
+        ref = np.asarray(sampling.apply_top_p(logits, 0.6, ref_exact=True))
+        # threshold 1-p = 0.4: keep where cum > 0.4 -> ids 1 (cum 0.5) and 2
+        assert np.isneginf(ref[0, 0]) and np.isfinite(ref[0, 1:]).all()
+        # proper nucleus at p=0.6 keeps only id 2 (prob .75 >= .6 alone)
+        fixed = np.asarray(sampling.apply_top_p(logits, 0.6))
+        assert np.isneginf(fixed[0, :2]).all() and np.isfinite(fixed[0, 2])
+
     def test_repetition_penalty_matches_reference_math(self):
         """neg -> *p, pos -> /p on seen ids (reference Qwen3.swift:164-179)."""
         logits = jnp.asarray([[2.0, -2.0, 1.0]])
