@@ -34,6 +34,7 @@ from qwen3tts_tpu.utils import host_init as hi
 from __graft_entry__ import _flagship_06b, _flagship_17b
 
 INT4 = os.environ.get("BENCH_INT4") == "1"  # packed-int4 weight variant
+QUANT = os.environ.get("BENCH_QUANT", "")  # "int8" = runtime weight-only int8
 MODEL = os.environ.get("BENCH_MODEL", "0b6")  # "0b6" | "1b7"
 
 BASELINE_RTF = 0.70  # reference bf16 0.6B (docs/paper.tex:431)
@@ -62,6 +63,12 @@ def main() -> None:
         log("int4 packed weights")
     talker_params = hi.to_device(tp_np, jnp.bfloat16)
     cp_params = hi.to_device(cpp_np, jnp.bfloat16)
+    if QUANT == "int8":
+        from qwen3tts_tpu.ops.quant import quantize_decode_params_int8
+
+        talker_params = quantize_decode_params_int8(talker_params, "codec_head")
+        cp_params = quantize_decode_params_int8(cp_params, "lm_head")
+        log("runtime int8 weight-only quantization")
     voc_params = vc.init_vocoder_params(jax.random.PRNGKey(2), vcfg, jnp.float32)
     jax.block_until_ready(talker_params["layers"]["input_layernorm"])
     log(f"param init: {time.time() - t0:.1f}s")
@@ -128,6 +135,49 @@ def main() -> None:
     ttft = time.time() - t0
     log(f"TTFT (prefill + 1 frame): {ttft * 1000:.1f}ms")
 
+    # ---- TTFA (time to first audio, streaming path) ----
+    # mirrors tts.generate_stream(audio_chunk_frames=12): prefill + chunk of
+    # 12+8 frames (8 = pre-transformer lookahead), then a windowed vocoder
+    # decode of the first 12 frames (128-frame bucket, as production uses)
+    AUDIO_CHUNK, LOOKAHEAD = 12, 8
+    win = jnp.zeros((1, 128, 16), jnp.int32)
+    wav_w, _ = vc.decode(voc_params, vcfg, win, jnp.int32(AUDIO_CHUNK + LOOKAHEAD))
+    jax.block_until_ready(wav_w)  # warm the window-decode program
+    chunk_args = dict(
+        talker_cfg=cfg, cp_cfg=cpc, sampling=sampling, trailing_embeds=trailing,
+        trailing_len=jnp.int32(12), tts_pad_embed=tts_pad,
+    )
+    warm2 = gen.generate_chunk(
+        talker_params, cp_params, warm,
+        until_step=jnp.int32(AUDIO_CHUNK + LOOKAHEAD), **chunk_args,
+    )
+    jax.block_until_ready(warm2.tokens)  # warm the chunk program
+    t0 = time.time()
+    c2 = gen.prefill_start(
+        talker_params, cp_params, talker_cfg=cfg, cp_cfg=cpc, sampling=sampling,
+        prefill_embeds=prefill, prefill_len=jnp.int32(PREFILL_LEN),
+        trailing_embeds=trailing, trailing_len=jnp.int32(12),
+        tts_pad_embed=tts_pad, cache=make_cache(), max_frames=max_frames,
+        key=jax.random.PRNGKey(6),
+    )
+    c2 = gen.generate_chunk(
+        talker_params, cp_params, c2,
+        until_step=jnp.int32(AUDIO_CHUNK + LOOKAHEAD), **chunk_args,
+    )
+    import numpy as np
+
+    codes_np = np.asarray(c2.codes)  # host readback, as generate_stream does
+    buf = np.zeros((1, 128, 16), np.int32)
+    buf[0, : AUDIO_CHUNK + LOOKAHEAD] = codes_np[: AUDIO_CHUNK + LOOKAHEAD]
+    wav_first, _ = vc.decode(
+        voc_params, vcfg, jnp.asarray(buf), jnp.int32(AUDIO_CHUNK + LOOKAHEAD)
+    )
+    pcm = np.asarray(wav_first)[0][: AUDIO_CHUNK * 1920]  # host-side slice
+    ttfa = time.time() - t0
+    log(f"TTFA (prefill + {AUDIO_CHUNK + LOOKAHEAD} frames + windowed vocoder "
+        f"-> {pcm.shape[0]} samples = {AUDIO_CHUNK / CODEC_RATE:.2f}s audio): "
+        f"{ttfa * 1000:.1f}ms")
+
     # ---- timed runs ----
     n_runs = 3
     gen_times, voc_times, frames_done = [], [], []
@@ -157,7 +207,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"rtf_{'1.7b' if MODEL == '1b7' else '0.6b'}_customvoice_66frames_v5e" + ("_int4" if INT4 else ""),
+                "metric": f"rtf_{'1.7b' if MODEL == '1b7' else '0.6b'}_customvoice_66frames_v5e"
+                + ("_int4" if INT4 else "")
+                + (f"_{QUANT}" if QUANT else ""),
                 "value": round(rtf, 4),
                 "unit": "rtf_gen_time_over_audio_duration",
                 "vs_baseline": round(BASELINE_RTF / rtf, 2),

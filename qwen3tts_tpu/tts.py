@@ -118,6 +118,7 @@ class Qwen3TTSModel:
         speaker_encoder_params=None,
         tokenizer=None,
         dtype=jnp.bfloat16,
+        mesh=None,
     ):
         if config.talker_config is None:
             raise Qwen3TTSError("Talker config is required")
@@ -132,6 +133,19 @@ class Qwen3TTSModel:
         self.speaker_encoder_params = speaker_encoder_params
         self.tokenizer = tokenizer
         self.dtype = dtype
+        # optional jax.sharding.Mesh ("dp", "tp"): tensor-parallel serving
+        # over ICI (extension beyond the single-device reference, SURVEY §2.4)
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel import mesh as pm
+
+            self.talker_params = pm.shard_talker(self.talker_params, mesh)
+            if self.cp_params is not None:
+                self.cp_params = pm.shard_cp(self.cp_params, mesh)
+            for attr in ("vocoder_params", "encoder_params", "speaker_encoder_params"):
+                v = getattr(self, attr)
+                if v is not None:
+                    setattr(self, attr, pm.replicate(v, mesh))
         # streaming chunk size (frames per device round-trip); 25 = 2 s audio
         self.stream_chunk_frames = 25
         # optional ActivationProfiler (utils/profiler.py); set by the CLI
@@ -155,6 +169,8 @@ class Qwen3TTSModel:
         dtype=jnp.bfloat16,
         keep_packed: bool | None = None,
         fuse: bool = False,
+        quantize: str | None = None,
+        mesh=None,
     ) -> "Qwen3TTSModel":
         """Load config.json + safetensors (+ speech_tokenizer/, tokenizer)
         from a local directory (reference Qwen3.swift:1382-1495).
@@ -164,9 +180,22 @@ class Qwen3TTSModel:
         ``fuse`` concatenates q/k/v and gate/up projections into single
         matmuls. Measured on v5e this is ~30% SLOWER for B=1 decode (XLA's
         matvec codegen prefers the narrower matmuls), so it is off by
-        default; kept for experimentation on other topologies."""
+        default; kept for experimentation on other topologies.
+        ``quantize='int8'`` runtime-quantizes the talker + code-predictor
+        matmul weights to weight-only int8 (per-output-channel symmetric),
+        halving decode HBM traffic — measured 1.4x faster single-stream
+        decode on v5e with near-lossless numerics. Works on any checkpoint
+        (int4 checkpoints are dequantized first).
+        ``mesh``: a ``jax.sharding.Mesh`` with ("dp", "tp") axes
+        (parallel/mesh.py:make_mesh) — the talker + code predictor are
+        TP-sharded over it (Megatron column/row layout, XLA collectives over
+        ICI) and every generate* entry point runs under the mesh unchanged."""
         from .utils.loader import Checkpoint
 
+        if quantize not in (None, "int8"):
+            raise Qwen3TTSError(f"Unsupported quantize mode: {quantize!r}")
+        if quantize:
+            keep_packed = False  # int4 ckpts: dequantize, then requantize int8
         ckpt = Checkpoint(model_path, dtype, keep_packed=keep_packed)
         if fuse:
             ckpt.talker_params["layers"] = tk_mod.fuse_layer_projections(
@@ -175,6 +204,16 @@ class Qwen3TTSModel:
             if ckpt.cp_params is not None:
                 ckpt.cp_params["layers"] = tk_mod.fuse_layer_projections(
                     ckpt.cp_params["layers"]
+                )
+        if quantize == "int8":
+            from .ops.quant import quantize_decode_params_int8
+
+            ckpt.talker_params = quantize_decode_params_int8(
+                ckpt.talker_params, "codec_head"
+            )
+            if ckpt.cp_params is not None:
+                ckpt.cp_params = quantize_decode_params_int8(
+                    ckpt.cp_params, "lm_head"
                 )
         tokenizer = None
         try:
@@ -193,6 +232,7 @@ class Qwen3TTSModel:
             speaker_encoder_params=ckpt.speaker_encoder_params,
             tokenizer=tokenizer,
             dtype=dtype,
+            mesh=mesh,
         )
 
     # ------------------------------------------------------------------
@@ -424,6 +464,14 @@ class Qwen3TTSModel:
         n = len(self.tokenizer.encode(text)) if self.tokenizer else len(text)
         return min(max_tokens, max(75, n * 6))
 
+    def _mesh_scope(self):
+        """Ambient-mesh context for device calls (nullcontext when unsharded)."""
+        if self.mesh is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return jax.set_mesh(self.mesh)
+
     def _sampling(
         self, temperature: float, top_k: int, top_p: float, repetition_penalty: float
     ) -> SamplingConfig:
@@ -451,6 +499,10 @@ class Qwen3TTSModel:
         # (128-row blocks) is eligible
         cache_len = -(-(p_bucket + max_frames) // 128) * 128
         cache = tk_mod.make_cache(self.talker_cfg, 1, cache_len, self.dtype)
+        if self.mesh is not None:
+            from .parallel import mesh as pm
+
+            cache = pm.shard_cache(cache, self.mesh)
         return dict(
             prefill_embeds=prefill,
             prefill_len=jnp.int32(p_len),
@@ -496,15 +548,16 @@ class Qwen3TTSModel:
         if on_token is None:
             # non-streaming: the whole utterance as one device program
             t0 = time.time()
-            res = gen_mod.generate_codes_fused(
-                self.talker_params,
-                self.cp_params,
-                **common,
-                **prep,
-                max_steps=jnp.int32(max_steps),
-                key=key,
-            )
-            n = int(res.n_frames)
+            with self._mesh_scope():
+                res = gen_mod.generate_codes_fused(
+                    self.talker_params,
+                    self.cp_params,
+                    **common,
+                    **prep,
+                    max_steps=jnp.int32(max_steps),
+                    key=key,
+                )
+                n = int(res.n_frames)
             gen_t = time.time() - t0
             if n == 0:
                 raise Qwen3TTSError("No tokens generated")
@@ -556,35 +609,39 @@ class Qwen3TTSModel:
             tts_pad_embed=prep["tts_pad_embed"],
         )
         t0 = time.time()
-        carry = gen_mod.prefill_start(
-            self.talker_params,
-            self.cp_params,
-            **common,
-            **prep,
-            key=jax.random.PRNGKey(seed),
-        )
-        jax.block_until_ready(carry.tokens)
+        with self._mesh_scope():
+            carry = gen_mod.prefill_start(
+                self.talker_params,
+                self.cp_params,
+                **common,
+                **prep,
+                key=jax.random.PRNGKey(seed),
+            )
+            jax.block_until_ready(carry.tokens)
         self._last_prefill_time = time.time() - t0
         chunk = self.stream_chunk_frames
         emitted = 0
         while True:
             step = int(carry.step)
             done = bool(carry.eos) or step >= max_steps
-            tokens = np.asarray(carry.tokens[:step])
+            # full-buffer readback + host slice: a device-side [:step] slice
+            # would compile a new remote program per distinct step value
+            tokens = np.asarray(carry.tokens)[:step]
             new = [int(t) for t in tokens[emitted:] if t >= 0]
             emitted = step
             yield new, step, np.asarray(carry.codes), done
             if done:
                 return
             # generate_chunk donates `carry`; everything needed was read above
-            carry = gen_mod.generate_chunk(
-                self.talker_params,
-                self.cp_params,
-                carry,
-                **chunk_args,
-                until_step=jnp.int32(min(step + chunk, max_steps)),
-                **common,
-            )
+            with self._mesh_scope():
+                carry = gen_mod.generate_chunk(
+                    self.talker_params,
+                    self.cp_params,
+                    carry,
+                    **chunk_args,
+                    until_step=jnp.int32(min(step + chunk, max_steps)),
+                    **common,
+                )
 
     def _profile_replay(self, input_embeds, trailing, tts_pad, codes, n: int):
         """Replay the generated sequence (teacher forcing) to collect
@@ -617,11 +674,14 @@ class Qwen3TTSModel:
         t_bucket = pad_to_bucket(n_frames, GEN_BUCKETS)
         buf = np.zeros((1, t_bucket, dec_cfg.num_quantizers), np.int32)
         buf[0, : min(n_frames, codes.shape[0])] = codes[:n_frames]
-        wav, lengths = vc_mod.decode(
-            self.vocoder_params, dec_cfg, jnp.asarray(buf), jnp.int32(n_frames)
-        )
+        with self._mesh_scope():
+            wav, lengths = vc_mod.decode(
+                self.vocoder_params, dec_cfg, jnp.asarray(buf), jnp.int32(n_frames)
+            )
         valid = int(lengths[0])
-        out = np.asarray(wav[0][: n_frames * dec_cfg.total_upsample])
+        # readback then slice on host (device-side dynamic slices recompile
+        # per shape; the padded tail transfer is cheaper than a compile)
+        out = np.asarray(wav)[0][: n_frames * dec_cfg.total_upsample]
         if 0 < valid < out.shape[0]:
             out = out[:valid]
         return out
@@ -837,34 +897,7 @@ class Qwen3TTSModel:
                 f"generate_batch: texts ({B}), speakers ({len(speakers)}) and "
                 f"instructs ({len(instructs)}) must have equal lengths"
             )
-        mode = self.config.tts_model_type
-        built = []
-        for text, speaker, instruct in zip(texts, speakers, instructs):
-            # same per-mode validation as generate() (Qwen3.swift:1291-1373)
-            if mode == "voice_design":
-                if instruct is None:
-                    raise Qwen3TTSError(
-                        "VoiceDesign model requires 'instruct' for every text"
-                    )
-                speaker = None
-            elif mode in ("custom_voice", "base"):
-                if speaker is None:
-                    raise Qwen3TTSError(
-                        "CustomVoice/Base model requires 'speaker' for every "
-                        "text. Available speakers: "
-                        + ", ".join(self.supported_speakers)
-                    )
-                if speaker.lower() not in self.talker_cfg.speaker_ids:
-                    raise Qwen3TTSError(
-                        f"Speaker '{speaker}' not found. Available speakers: "
-                        + ", ".join(self.supported_speakers)
-                    )
-                if mode == "base":
-                    instruct = None
-            embeds, trailing, pad = self._prepare_generation_inputs(
-                text, language=language, speaker=speaker, instruct=instruct
-            )
-            built.append((embeds, trailing, pad))
+        built = self._build_batch_inputs(texts, speakers, instructs, language)
 
         p_bucket = pad_to_bucket(max(e.shape[1] for e, _, _ in built))
         t_bucket = pad_to_bucket(max(t.shape[0] for _, t, _ in built))
@@ -887,44 +920,36 @@ class Qwen3TTSModel:
         caps = [self._effective_max_tokens(t, max_tokens) for t in texts]
         max_frames = pad_to_bucket(max(caps), GEN_BUCKETS)
         cache_len = -(-(p_bucket + max_frames) // 128) * 128
-        res = bg.generate_codes_batch(
-            self.talker_params,
-            self.cp_params,
-            talker_cfg=self.talker_cfg,
-            cp_cfg=self.cp_cfg,
-            sampling=SamplingConfig(temperature, top_k, top_p, repetition_penalty),
-            prefill_embeds=prefill,
-            prefill_lens=prefill_lens,
-            trailing_embeds=trailing,
-            trailing_lens=trailing_lens,
-            tts_pad_embed=tts_pad,
-            cache=tk_mod.make_cache(self.talker_cfg, B, cache_len, self.dtype),
-            max_steps=jnp.asarray(caps, jnp.int32),
-            max_frames=max_frames,
-            key=jax.random.PRNGKey(seed),
-        )
-        n_frames = np.asarray(res.n_frames)
+        cache = tk_mod.make_cache(self.talker_cfg, B, cache_len, self.dtype)
+        if self.mesh is not None:
+            from .parallel import mesh as pm
+
+            cache = pm.shard_cache(cache, self.mesh)
+        with self._mesh_scope():
+            res = bg.generate_codes_batch(
+                self.talker_params,
+                self.cp_params,
+                talker_cfg=self.talker_cfg,
+                cp_cfg=self.cp_cfg,
+                sampling=self._sampling(temperature, top_k, top_p, repetition_penalty),
+                prefill_embeds=prefill,
+                prefill_lens=prefill_lens,
+                trailing_embeds=trailing,
+                trailing_lens=trailing_lens,
+                tts_pad_embed=tts_pad,
+                cache=cache,
+                max_steps=jnp.asarray(caps, jnp.int32),
+                max_frames=max_frames,
+                key=jax.random.PRNGKey(seed),
+            )
+            n_frames = np.asarray(res.n_frames)
         if (n_frames == 0).all():
             raise Qwen3TTSError("No tokens generated")
-        # batched vocoder decode with per-sequence frame masks
-        dec_cfg = self.tokenizer_config.decoder_config
-        t_vbucket = pad_to_bucket(max(int(n_frames.max()), 1), GEN_BUCKETS)
-        buf = np.zeros((B, t_vbucket, dec_cfg.num_quantizers), np.int32)
         codes_np = np.asarray(res.codes)
-        for b in range(B):
-            buf[b, : n_frames[b]] = codes_np[b, : n_frames[b]]
-        wav, lengths = vc_mod.decode(
-            self.vocoder_params, dec_cfg, jnp.asarray(buf), jnp.asarray(n_frames)
+        audio = self._decode_audio_list(
+            [codes_np[b] for b in range(B)], np.maximum(n_frames, 1)
         )
-        wav_np, lengths_np = np.asarray(wav), np.asarray(lengths)
-        out = []
-        for b in range(B):
-            samples = wav_np[b][: n_frames[b] * dec_cfg.total_upsample]
-            valid = int(lengths_np[b])
-            if 0 < valid < samples.shape[0]:
-                samples = samples[:valid]
-            out.append(samples)
-        return out
+        return [a if n_frames[b] else a[:0] for b, a in enumerate(audio)]
 
     def _route_stream_inputs(self, text, speaker, instruct, language):
         """Mode routing + validation for streaming (mirrors generate())."""
@@ -979,11 +1004,137 @@ class Qwen3TTSModel:
         bucket = pad_to_bucket(w, GEN_BUCKETS)
         buf = np.zeros((1, bucket, dec_cfg.num_quantizers), np.int32)
         buf[0, :w] = codes[s:n_valid]
-        wav, _ = vc_mod.decode(
-            self.vocoder_params, dec_cfg, jnp.asarray(buf), jnp.int32(w)
-        )
+        with self._mesh_scope():
+            wav, _ = vc_mod.decode(
+                self.vocoder_params, dec_cfg, jnp.asarray(buf), jnp.int32(w)
+            )
         up = dec_cfg.total_upsample
-        return np.asarray(wav[0][(start_f - s) * up : (end_f - s) * up])
+        # host-side slice (device dynamic slices recompile per offset pair)
+        return np.asarray(wav)[0][(start_f - s) * up : (end_f - s) * up]
+
+    def _build_batch_inputs(self, texts, speakers, instructs, language):
+        """Per-request validation + prompt construction for batched paths
+        (same per-mode rules as generate(), Qwen3.swift:1291-1373)."""
+        mode = self.config.tts_model_type
+        built = []
+        for text, speaker, instruct in zip(texts, speakers, instructs):
+            if mode == "voice_design":
+                if instruct is None:
+                    raise Qwen3TTSError(
+                        "VoiceDesign model requires 'instruct' for every text"
+                    )
+                speaker = None
+            elif mode in ("custom_voice", "base"):
+                if speaker is None:
+                    raise Qwen3TTSError(
+                        "CustomVoice/Base model requires 'speaker' for every "
+                        "text. Available speakers: "
+                        + ", ".join(self.supported_speakers)
+                    )
+                if speaker.lower() not in self.talker_cfg.speaker_ids:
+                    raise Qwen3TTSError(
+                        f"Speaker '{speaker}' not found. Available speakers: "
+                        + ", ".join(self.supported_speakers)
+                    )
+                if mode == "base":
+                    instruct = None
+            embeds, trailing, pad = self._prepare_generation_inputs(
+                text, language=language, speaker=speaker, instruct=instruct
+            )
+            built.append((embeds, trailing, pad))
+        return built
+
+    def _decode_audio_list(self, codes_list, n_frames_list) -> list[np.ndarray]:
+        """Batched vocoder decode of ragged utterances (shared bucket)."""
+        dec_cfg = self.tokenizer_config.decoder_config
+        B = len(codes_list)
+        n_frames = np.asarray(n_frames_list, np.int32)
+        t_vbucket = pad_to_bucket(max(int(n_frames.max()), 1), GEN_BUCKETS)
+        buf = np.zeros((B, t_vbucket, dec_cfg.num_quantizers), np.int32)
+        for b in range(B):
+            buf[b, : n_frames[b]] = codes_list[b][: n_frames[b]]
+        with self._mesh_scope():
+            wav, lengths = vc_mod.decode(
+                self.vocoder_params, dec_cfg, jnp.asarray(buf), jnp.asarray(n_frames)
+            )
+        wav_np, lengths_np = np.asarray(wav), np.asarray(lengths)
+        out = []
+        for b in range(B):
+            samples = wav_np[b][: n_frames[b] * dec_cfg.total_upsample]
+            valid = int(lengths_np[b])
+            if 0 < valid < samples.shape[0]:
+                samples = samples[:valid]
+            out.append(samples)
+        return out
+
+    def generate_batch_continuous(
+        self,
+        texts: list[str],
+        speakers: list[str] | None = None,
+        instructs: list[str] | None = None,
+        language: str = "auto",
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        repetition_penalty: float = 1.05,
+        max_tokens: int = 2048,
+        seed: int = 0,
+        slots: int = 4,
+        chunk_frames: int | None = None,
+    ) -> list[np.ndarray]:
+        """Continuous-batching synthesis: N requests over ``slots`` cache
+        slots with admission between decode chunks (serving.py).
+
+        Unlike generate_batch (lockstep until the LAST sequence finishes),
+        freed slots are immediately refilled from the queue, so throughput
+        survives ragged lengths and N can exceed the slot count. Returns one
+        waveform per text, in order (empty waveform if a request EOSed on
+        its first frame).
+        """
+        from .serving import BatchItem, ContinuousBatcher
+
+        N = len(texts)
+        if N == 0:
+            return []
+        speakers = speakers if speakers is not None else [None] * N
+        instructs = instructs if instructs is not None else [None] * N
+        if len(speakers) != N or len(instructs) != N:
+            raise Qwen3TTSError(
+                f"generate_batch_continuous: texts ({N}), speakers "
+                f"({len(speakers)}) and instructs ({len(instructs)}) must "
+                "have equal lengths"
+            )
+        built = self._build_batch_inputs(texts, speakers, instructs, language)
+        caps = [self._effective_max_tokens(t, max_tokens) for t in texts]
+        items = [
+            BatchItem(
+                prefill_embeds=e, trailing=t, max_steps=cap, seed=seed + i
+            )
+            for i, ((e, t, _), cap) in enumerate(zip(built, caps))
+        ]
+        batcher = ContinuousBatcher(
+            self.talker_params,
+            self.cp_params,
+            talker_cfg=self.talker_cfg,
+            cp_cfg=self.cp_cfg,
+            sampling=self._sampling(temperature, top_k, top_p, repetition_penalty),
+            tts_pad_embed=built[0][2],
+            slots=slots,
+            chunk_frames=chunk_frames or self.stream_chunk_frames,
+            max_frames=pad_to_bucket(max(caps), GEN_BUCKETS),
+            dtype=self.dtype,
+            mesh=self.mesh,
+        )
+        outs = batcher.run(items)
+        if all(o.n_frames == 0 for o in outs):
+            raise Qwen3TTSError("No tokens generated")
+        audio = self._decode_audio_list(
+            [o.codes if o.n_frames else np.zeros((1, 16), np.int32) for o in outs],
+            [max(o.n_frames, 1) for o in outs],
+        )
+        return [
+            a if o.n_frames else a[:0] for a, o in zip(audio, outs)
+        ]
 
     def generate_stream(
         self,

@@ -12,6 +12,8 @@ from __future__ import annotations
 import json
 import os
 
+import zlib
+
 import numpy as np
 
 TINY_CONFIG = {
@@ -116,12 +118,14 @@ class StubTokenizer:
             if tok in self.specials:
                 ids.append(self.specials[tok] % self.vocab_size)
             else:
-                ids.append(hash(tok) % (self.vocab_size - 16))
+                ids.append(zlib.crc32(tok.encode()) % (self.vocab_size - 16))
         return ids
 
 
 def _rs(name: str) -> np.random.RandomState:
-    return np.random.RandomState(abs(hash(name)) % (2**31))
+    # zlib.crc32, not hash(): PYTHONHASHSEED randomizes hash() per process,
+    # which made "identical" synthetic checkpoints differ across runs
+    return np.random.RandomState(zlib.crc32(name.encode()) % (2**31))
 
 
 def _mat(name, *shape, scale=None):

@@ -136,3 +136,70 @@ class TestBatchGeneration:
         c = np.asarray(res.codes)
         assert (c >= 0).all()
         assert res.codes.shape == (3, 8, 16)
+
+
+class TestContinuousBatching:
+    """admit_slot + ContinuousBatcher (serving.py): slot reuse between chunks."""
+
+    def _items(self, n, lens, caps):
+        from qwen3tts_tpu.serving import BatchItem
+
+        h = TINY_TALKER.hidden_size
+        items = []
+        for i in range(n):
+            p = jax.random.normal(jax.random.PRNGKey(100 + i), (1, lens[i], h)) * 0.1
+            t = jax.random.normal(jax.random.PRNGKey(200 + i), (3, h)) * 0.1
+            items.append(BatchItem(prefill_embeds=p, trailing=t, max_steps=caps[i]))
+        return items
+
+    def _run(self, params, items, slots, chunk=3, max_frames=16):
+        from qwen3tts_tpu.serving import ContinuousBatcher
+
+        talker, cpp = params
+        b = ContinuousBatcher(
+            talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=GREEDY,
+            tts_pad_embed=jnp.zeros((TINY_TALKER.hidden_size,)),
+            slots=slots, chunk_frames=chunk, max_frames=max_frames,
+            dtype=jnp.float32,
+        )
+        return b.run(items), b
+
+    def test_admitted_request_matches_single_run(self, params):
+        """A request admitted into a reused slot must produce exactly the
+        codes of an independent single-sequence greedy run."""
+        items = self._items(3, lens=[6, 5, 7], caps=[4, 4, 5])
+        outs, _ = self._run(params, items, slots=2)
+        assert len(outs) == 3
+        for i, it in enumerate(items):
+            ref = _single(
+                params, it.prefill_embeds[0], it.prefill_embeds.shape[1],
+                it.trailing, 3, max_steps=it.max_steps, max_frames=16,
+            )
+            n = int(ref.n_frames)
+            assert outs[i].n_frames == n, f"request {i}: {outs[i].n_frames} != {n}"
+            np.testing.assert_array_equal(
+                outs[i].codes, np.asarray(ref.codes)[:n], err_msg=f"request {i}"
+            )
+
+    def test_more_requests_than_slots_all_complete(self, params):
+        items = self._items(5, lens=[4, 5, 6, 4, 5], caps=[3, 5, 2, 4, 3])
+        outs, _ = self._run(params, items, slots=2)
+        assert len(outs) == 5
+        assert all(o.n_frames >= 1 for o in outs)
+
+    def test_ragged_lengths_dont_stall_slots(self, params):
+        """Efficiency (VERDICT r1 #7 'done' criterion, measured in lockstep
+        iterations — deterministic, unlike wall time): one long request plus
+        many short ones on 2 slots must take far fewer iterations than the
+        static-lockstep schedule, which holds every slot until the LAST
+        sequence finishes each wave."""
+        caps = [12, 2, 2, 2, 2, 2, 2]
+        items = self._items(7, lens=[5] * 7, caps=caps)
+        outs, batcher = self._run(params, items, slots=2, chunk=2)
+        assert [o.n_frames for o in outs] == caps
+        iters = batcher.total_iterations
+        # continuous: long request (12) runs while the short ones cycle
+        # through the other slot -> near-ideal total. Static lockstep waves
+        # of 2 would cost 12+2+2+2 = 18+ iterations.
+        ideal = max(12, 1 + sum(caps) - 12)  # second slot drains 6x cap-2
+        assert iters <= ideal + 2 * 2 + 1, f"{iters} iterations vs ideal {ideal}"

@@ -279,3 +279,15 @@ class TestBatchAPI:
             model.generate_batch(["a", "b"])
         with pytest.raises(Qwen3TTSError, match="not found"):
             model.generate_batch(["a"], speakers=["nobody"])
+
+
+def test_generate_batch_continuous_public(model):
+    outs = model.generate_batch_continuous(
+        ["First text", "Second longer text here", "Third"],
+        speakers=["Aiden", "Vivian", "Aiden"],
+        max_tokens=6, seed=3, slots=2, chunk_frames=2,
+    )
+    assert len(outs) == 3
+    for a in outs:
+        assert a.ndim == 1 and np.isfinite(a).all()
+    assert any(a.shape[0] > 0 for a in outs)

@@ -115,3 +115,67 @@ def test_shard_specs_cover_all_leaves(params):
         pm.cp_param_specs(cpp),
         is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
     )
+
+
+class TestPublicMeshAPI:
+    """TP sharding through the public Qwen3TTSModel surface (VERDICT r1 #9)."""
+
+    @pytest.fixture(scope="class")
+    def ckpt_dir(self, tmp_path_factory):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from synthetic_ckpt import write_checkpoint
+
+        return write_checkpoint(str(tmp_path_factory.mktemp("tp_ckpt")))
+
+    def _model(self, ckpt_dir, mesh=None, quantize=None):
+        from qwen3tts_tpu.tts import Qwen3TTSModel
+        from synthetic_ckpt import StubTokenizer
+
+        m = Qwen3TTSModel.from_pretrained(
+            ckpt_dir, dtype=jnp.float32, mesh=mesh, quantize=quantize
+        )
+        m.tokenizer = StubTokenizer()
+        return m
+
+    def test_generate_under_tp_mesh_matches_unsharded(self, ckpt_dir):
+        ref = self._model(ckpt_dir).generate(
+            "Mesh parity", speaker="Aiden", temperature=0.0, max_tokens=5, seed=0
+        )
+        mesh = pm.make_mesh(jax.devices(), tp=4)
+        m = self._model(ckpt_dir, mesh=mesh)
+        out = m.generate(
+            "Mesh parity", speaker="Aiden", temperature=0.0, max_tokens=5, seed=0
+        )
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=1e-2)
+
+    def test_stream_under_mesh(self, ckpt_dir):
+        mesh = pm.make_mesh(jax.devices(), tp=2)
+        m = self._model(ckpt_dir, mesh=mesh)
+        events = list(
+            m.generate_stream("Mesh stream", speaker="Aiden", max_tokens=5,
+                              seed=1, audio_chunk_frames=2)
+        )
+        kinds = [type(e).__name__ for e in events]
+        assert kinds[-2:] == ["InfoEvent", "AudioEvent"]
+        assert any(k == "TokenEvent" for k in kinds)
+
+    def test_int8_under_mesh(self, ckpt_dir):
+        from qwen3tts_tpu.ops.quant import Int8Linear
+
+        mesh = pm.make_mesh(jax.devices(), tp=2)
+        m = self._model(ckpt_dir, mesh=mesh, quantize="int8")
+        assert isinstance(m.talker_params["layers"]["q_proj"], Int8Linear)
+        audio = m.generate(
+            "Int8 mesh", speaker="Aiden", temperature=0.0, max_tokens=4, seed=0
+        )
+        assert audio.shape[0] > 0 and np.isfinite(audio).all()
+
+    def test_batch_under_dp_tp_mesh(self, ckpt_dir):
+        mesh = pm.make_mesh(jax.devices(), tp=4)  # dp=2, tp=4
+        m = self._model(ckpt_dir, mesh=mesh)
+        outs = m.generate_batch(
+            ["One", "Two"], speakers=["Aiden", "Vivian"], max_tokens=4, seed=2
+        )
+        assert len(outs) == 2

@@ -111,3 +111,60 @@ class TestQuantizedCheckpoint:
         ckpt = Checkpoint(ckpt_dir, jnp.float32)
         assert ckpt.config.quantization.bits == 4
         assert ckpt.config.quantization.group_size == 32
+
+
+class TestInt8Runtime:
+    """Weight-only int8 runtime quantization (ops.quant.Int8Linear)."""
+
+    def test_quantize_roundtrip_error_bounded(self):
+        rs = np.random.RandomState(3)
+        w = rs.randn(128, 64).astype(np.float32)
+        q = quant.quantize_int8(w)
+        back = np.asarray(q.q, np.float32) * np.asarray(q.scale)
+        # per-output-channel symmetric: error <= half a step
+        step = np.abs(w).max(axis=0, keepdims=True) / 127.0
+        assert (np.abs(back - w) <= step * 0.5 + 1e-6).all()
+
+    def test_int8_matmul_close_to_dense(self):
+        rs = np.random.RandomState(4)
+        w = rs.randn(256, 96).astype(np.float32) / 16.0
+        x = rs.randn(2, 256).astype(np.float32)
+        y8 = np.asarray(quant.int8_matmul(jnp.asarray(x), quant.quantize_int8(w)))
+        ref = x @ w
+        assert np.abs(y8 - ref).max() / np.abs(ref).max() < 2e-2
+
+    def test_stacked_getitem_matches_per_layer(self):
+        rs = np.random.RandomState(5)
+        w = rs.randn(3, 32, 16).astype(np.float32)
+        stacked = quant.quantize_int8(w)
+        per = quant.quantize_int8(w[1])
+        np.testing.assert_array_equal(np.asarray(stacked[1].q), np.asarray(per.q))
+        np.testing.assert_allclose(
+            np.asarray(stacked[1].scale), np.asarray(per.scale), rtol=1e-6
+        )
+
+    def test_from_pretrained_int8_generates(self, tmp_path_factory):
+        from qwen3tts_tpu.ops.quant import Int8Linear
+        from qwen3tts_tpu.tts import Qwen3TTSModel
+        from synthetic_ckpt import StubTokenizer, write_checkpoint
+
+        d = write_checkpoint(str(tmp_path_factory.mktemp("int8ckpt")))
+        m = Qwen3TTSModel.from_pretrained(d, dtype=jnp.float32, quantize="int8")
+        m.tokenizer = StubTokenizer()
+        assert isinstance(m.talker_params["layers"]["q_proj"], Int8Linear)
+        assert isinstance(m.talker_params["codec_head"], Int8Linear)
+        assert isinstance(m.cp_params["lm_head"], Int8Linear)
+        audio = m.generate("Int8 runtime", speaker="Aiden", max_tokens=6, seed=0)
+        assert audio.shape[0] > 0 and np.isfinite(audio).all()
+
+    def test_int8_on_int4_checkpoint_dequantizes_first(self, tmp_path_factory):
+        from qwen3tts_tpu.ops.quant import Int8Linear
+        from qwen3tts_tpu.tts import Qwen3TTSModel
+        from synthetic_ckpt import StubTokenizer, write_checkpoint
+
+        d = write_checkpoint(str(tmp_path_factory.mktemp("i4i8ckpt")), quantize=True)
+        m = Qwen3TTSModel.from_pretrained(d, dtype=jnp.float32, quantize="int8")
+        m.tokenizer = StubTokenizer()
+        assert isinstance(m.talker_params["layers"]["q_proj"], Int8Linear)
+        audio = m.generate("Int4 to int8", speaker="Aiden", max_tokens=5, seed=1)
+        assert audio.shape[0] > 0 and np.isfinite(audio).all()
