@@ -34,7 +34,12 @@ from qwen3tts_tpu.utils import host_init as hi
 from __graft_entry__ import _flagship_06b, _flagship_17b
 
 INT4 = os.environ.get("BENCH_INT4") == "1"  # packed-int4 weight variant
-QUANT = os.environ.get("BENCH_QUANT", "")  # "int8" = runtime weight-only int8
+# default headline = the production serving config: runtime weight-only int8
+# with fused talker projections (both measured faster on v5e, round 2).
+# BENCH_QUANT=bf16 benches the unquantized path.
+QUANT = os.environ.get("BENCH_QUANT", "int8" if not INT4 else "")
+if QUANT == "bf16":
+    QUANT = ""
 MODEL = os.environ.get("BENCH_MODEL", "0b6")  # "0b6" | "1b7"
 
 BASELINE_RTF = 0.70  # reference bf16 0.6B (docs/paper.tex:431)
@@ -66,9 +71,13 @@ def main() -> None:
     if QUANT == "int8":
         from qwen3tts_tpu.ops.quant import quantize_decode_params_int8
 
+        # mirror from_pretrained(quantize='int8'): fuse the talker (measured
+        # faster under int8), keep the CP unfused (measured slower)
+        talker_params = dict(talker_params)
+        talker_params["layers"] = tk.fuse_layer_projections(talker_params["layers"])
         talker_params = quantize_decode_params_int8(talker_params, "codec_head")
         cp_params = quantize_decode_params_int8(cp_params, "lm_head")
-        log("runtime int8 weight-only quantization")
+        log("runtime int8 weight-only quantization (fused talker projections)")
     voc_params = vc.init_vocoder_params(jax.random.PRNGKey(2), vcfg, jnp.float32)
     jax.block_until_ready(talker_params["layers"]["input_layernorm"])
     log(f"param init: {time.time() - t0:.1f}s")
@@ -209,7 +218,7 @@ def main() -> None:
             {
                 "metric": f"rtf_{'1.7b' if MODEL == '1b7' else '0.6b'}_customvoice_66frames_v5e"
                 + ("_int4" if INT4 else "")
-                + (f"_{QUANT}" if QUANT else ""),
+                + ("_int8wo" if QUANT == "int8" else ""),
                 "value": round(rtf, 4),
                 "unit": "rtf_gen_time_over_audio_duration",
                 "vs_baseline": round(BASELINE_RTF / rtf, 2),

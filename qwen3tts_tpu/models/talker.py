@@ -296,13 +296,14 @@ def forward(
 
     import os
 
-    # Prefix-streaming kernel economics (measured on v5e at 0.6B, T=4096):
-    # wins while pos << T_max (2.28 vs 2.81 ms/step at pos~64) but loses
-    # when the prefix fills the cache (4.89 vs 2.83 at pos~3900 — its
-    # per-head 128-row DMAs are latency-bound vs XLA's bulk read). It pays
-    # off for servers with large FIXED caches and short typical prefixes;
-    # per-utterance right-sized caches (what tts.py allocates) are better
-    # served by the XLA path, hence the high threshold.
+    # Prefix-streaming kernel economics (re-measured round 2 with the
+    # all-heads stripe kernel, ops/attention.py): at T<=2048 right-sized
+    # caches the attention op is ~20us and overhead-bound — XLA ties or
+    # wins, so production per-utterance caches stay on the XLA path. At
+    # T>=4096 fixed server caches the kernel wins short prefixes
+    # (0.165 vs 0.188 ms/layer at pos~64) and ties full ones
+    # (0.177 vs 0.178 at pos~4000); the round-1 per-head kernel's long-
+    # prefix pathology (4.89 vs 2.83 ms/step) is gone.
     use_attn_kernel = (
         S == 1
         and B == 1

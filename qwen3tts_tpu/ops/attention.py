@@ -3,9 +3,24 @@
 The plain XLA decode path attends over the FULL static cache with a mask —
 reading ``T_max`` rows from HBM every step regardless of how many are valid.
 This kernel keeps the cache HBM-resident (memory_space=ANY) and streams ONLY
-the 128-row blocks up to the current position through a double-buffered VMEM
-pipeline with flash-style online softmax, so per-step attention HBM traffic
-scales with the actual sequence length instead of the preallocated maximum.
+the valid blocks through a double-buffered VMEM pipeline with flash-style
+online softmax, so per-step attention HBM traffic scales with the actual
+sequence length instead of the preallocated maximum.
+
+Round-2 design (replaces the round-1 per-head kernel): ONE program handles
+ALL KV heads — each block DMA fetches a [Hkv, BLOCK_T, D] stripe (k and v),
+so the pipeline issues 2 large DMAs per block instead of 2 small ones per
+head. The round-1 kernel was DMA-latency-bound (serial per-head 32 KB
+copies: 4.89 ms vs 2.83 XLA per 28-layer step at T=4096 pos≈3900); the
+stripe version measures at or below XLA for every position at T=4096
+(0.165–0.177 vs 0.177–0.188 ms single-layer incl. harness overhead).
+
+Measured v5e economics (round 2, single layer, GQA 16/8 D=128):
+  T<=2048 right-sized caches: the attention op is ~20 us and
+  overhead-bound — XLA's fused masked attention wins or ties; the kernel
+  only matches it. Production per-utterance caches therefore use XLA.
+  T>=4096 fixed server caches: the kernel wins while the prefix is short
+  and ties when full — gated in models/talker.py to T_max >= 4096.
 
 The cache append itself stays an XLA ``dynamic_update_slice`` on the
 donated while-loop carry (in-place, one row) — single-row VMEM->HBM DMAs
@@ -17,8 +32,6 @@ Single-token (B=1) GQA decode:
   q:               [1, Hq, 1, D]   (QK-normed, rotary-applied)
   k_cache/v_cache: [1, Hkv, T, D]  (row ``pos`` already appended)
   pos:             scalar int32 — attend to slots 0..pos
-
-Grid: one program per KV head; each handles its G = Hq/Hkv query heads.
 """
 
 from __future__ import annotations
@@ -30,36 +43,36 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_T = 128
+BLOCK_T = 512  # preferred stripe length; falls back to 128 for short caches
 NEG_INF = -1e30  # python float: jnp constants would be captured as kernel consts
 
 
 def _decode_attn_kernel(
     scale: float,
+    block_t: int,
     scalars_ref,  # SMEM [2] int32 (scalar prefetch): [pos, layer]
-    q_ref,  # VMEM [G, D]
-    k_cache_hbm,  # ANY  [L, Hkv, T, D] full array
+    q_ref,  # VMEM [Hkv, G, D] — all heads
+    k_cache_hbm,  # ANY [L, Hkv, T, D] full array
     v_cache_hbm,
-    o_ref,  # VMEM [G, D]
-    k_buf,  # VMEM scratch [2, BLOCK_T, D]
+    o_ref,  # VMEM [Hkv, G, D]
+    k_buf,  # VMEM scratch [2, Hkv, block_t, D]
     v_buf,
     read_sems,  # DMA sems (2, 2)
 ):
     pos = scalars_ref[0]
     lyr = scalars_ref[1]
-    h = pl.program_id(0)  # ANY-space refs stay whole-array: index head here
     T = k_cache_hbm.shape[2]
-    n_blocks = T // BLOCK_T
-    n_valid = jnp.minimum((pos + BLOCK_T) // BLOCK_T, n_blocks)
+    n_blocks = T // block_t
+    n_valid = jnp.minimum((pos + block_t) // block_t, n_blocks)
 
     def read(slot, blk):
-        start = blk * BLOCK_T
+        start = blk * block_t
         k_dma = pltpu.make_async_copy(
-            k_cache_hbm.at[lyr, h, pl.ds(start, BLOCK_T), :], k_buf.at[slot],
+            k_cache_hbm.at[lyr, :, pl.ds(start, block_t), :], k_buf.at[slot],
             read_sems.at[slot, 0],
         )
         v_dma = pltpu.make_async_copy(
-            v_cache_hbm.at[lyr, h, pl.ds(start, BLOCK_T), :], v_buf.at[slot],
+            v_cache_hbm.at[lyr, :, pl.ds(start, block_t), :], v_buf.at[slot],
             read_sems.at[slot, 1],
         )
         return k_dma, v_dma
@@ -68,11 +81,11 @@ def _decode_attn_kernel(
     k0.start()
     v0.start()
 
-    q = q_ref[...].astype(jnp.float32) * scale  # [G, D]
-    G, D = q.shape
-    m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((G, 1), jnp.float32)
-    acc0 = jnp.zeros((G, D), jnp.float32)
+    q = q_ref[...].astype(jnp.float32) * scale  # [Hkv, G, D]
+    Hkv, G, D = q.shape
+    m0 = jnp.full((Hkv, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Hkv, G, 1), jnp.float32)
+    acc0 = jnp.zeros((Hkv, G, D), jnp.float32)
 
     def body(b, carry):
         m, l, acc = carry
@@ -88,21 +101,24 @@ def _decode_attn_kernel(
         kd.wait()
         vd.wait()
 
-        start = b * BLOCK_T
-        k_blk = k_buf[slot].astype(jnp.float32)
+        start = b * block_t
+        k_blk = k_buf[slot].astype(jnp.float32)  # [Hkv, Bt, D]
         v_blk = v_buf[slot].astype(jnp.float32)
 
+        # batched GQA: s[h, g, t] = q[h, g, :] . k[h, t, :]
         s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [G, Bt]
-        t_idx = start + jax.lax.broadcasted_iota(jnp.int32, (G, BLOCK_T), 1)
+            q, k_blk, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [Hkv, G, Bt]
+        t_idx = start + jax.lax.broadcasted_iota(jnp.int32, (Hkv, G, block_t), 2)
         s = jnp.where(t_idx <= pos, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, v_blk, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
 
@@ -142,24 +158,25 @@ def decode_attention_inner(
         k_full, v_full = k_cache[:, 0], v_cache[:, 0]  # [L, Hkv, T, D]
     Hkv, T = k_full.shape[1], k_full.shape[2]
     G = Hq // Hkv
-    assert T % BLOCK_T == 0, f"cache length {T} must be a multiple of {BLOCK_T}"
+    block_t = BLOCK_T if T % BLOCK_T == 0 else 128
+    assert T % block_t == 0, f"cache length {T} must be a multiple of {block_t}"
 
     q2 = q[0, :, 0].reshape(Hkv, G, D)
-    kernel = functools.partial(_decode_attn_kernel, scale)
+    kernel = functools.partial(_decode_attn_kernel, scale, block_t)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(Hkv,),
+            grid=(1,),
             in_specs=[
-                pl.BlockSpec((None, G, D), lambda h, *_: (h, 0, 0)),
+                pl.BlockSpec((Hkv, G, D), lambda *_: (0, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec((None, G, D), lambda h, *_: (h, 0, 0)),
+            out_specs=pl.BlockSpec((Hkv, G, D), lambda *_: (0, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, BLOCK_T, D), k_cache.dtype),
-                pltpu.VMEM((2, BLOCK_T, D), v_cache.dtype),
+                pltpu.VMEM((2, Hkv, block_t, D), k_cache.dtype),
+                pltpu.VMEM((2, Hkv, block_t, D), v_cache.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
@@ -175,3 +192,7 @@ def decode_attention_inner(
         v_full,
     )
     return out.reshape(1, Hq, 1, D)
+
+
+# round-2 transitional alias (kernel unified on the stripe design)
+decode_attention_v2_inner = decode_attention_inner

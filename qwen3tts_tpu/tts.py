@@ -197,14 +197,19 @@ class Qwen3TTSModel:
         if quantize:
             keep_packed = False  # int4 ckpts: dequantize, then requantize int8
         ckpt = Checkpoint(model_path, dtype, keep_packed=keep_packed)
-        if fuse:
+        # measured on v5e (round 2): fused qkv/gate-up is ~11% FASTER for the
+        # int8 talker step (1.11 vs 1.25 ms) but slower for bf16 and for the
+        # code predictor — auto-fuse exactly that case. TP sharding needs
+        # unfused head groups, so a mesh disables it.
+        fuse_talker = fuse or (quantize == "int8" and mesh is None)
+        if fuse_talker:
             ckpt.talker_params["layers"] = tk_mod.fuse_layer_projections(
                 ckpt.talker_params["layers"]
             )
-            if ckpt.cp_params is not None:
-                ckpt.cp_params["layers"] = tk_mod.fuse_layer_projections(
-                    ckpt.cp_params["layers"]
-                )
+        if fuse and ckpt.cp_params is not None:
+            ckpt.cp_params["layers"] = tk_mod.fuse_layer_projections(
+                ckpt.cp_params["layers"]
+            )
         if quantize == "int8":
             from .ops.quant import quantize_decode_params_int8
 

@@ -65,3 +65,38 @@ def test_kernel_ignores_garbage_beyond_pos():
         jnp.int32(pos), D**-0.5, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+@pytest.mark.parametrize("pos", [0, 5, 511, 512, 900])
+def test_v2_stripe_kernel_matches_xla(pos):
+    """Round-2 all-heads stripe kernel (BLOCK_T2=512) vs the XLA path."""
+    Hq, Hkv, D, T = 4, 2, 64, 1024
+    rs = np.random.RandomState(pos)
+    q = jnp.asarray(rs.randn(1, Hq, 1, D).astype(np.float32))
+    k_cache = jnp.asarray(rs.randn(1, Hkv, T, D).astype(np.float32) * 0.5)
+    v_cache = jnp.asarray(rs.randn(1, Hkv, T, D).astype(np.float32) * 0.5)
+    scale = D**-0.5
+
+    mask = (jnp.arange(T) <= pos)[None, None, :]
+    want = _attend(q, k_cache, v_cache, mask, scale)
+    got = pa.decode_attention_v2_inner(
+        q, k_cache, v_cache, jnp.int32(pos), scale, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_v2_layer_indexed_cache():
+    """v2 with the scan-carried [L, 1, Hkv, T, D] layout selects its layer."""
+    Hq, Hkv, D, T, L = 4, 2, 32, 512, 3
+    rs = np.random.RandomState(7)
+    q = jnp.asarray(rs.randn(1, Hq, 1, D).astype(np.float32))
+    k = jnp.asarray(rs.randn(L, 1, Hkv, T, D).astype(np.float32) * 0.5)
+    v = jnp.asarray(rs.randn(L, 1, Hkv, T, D).astype(np.float32) * 0.5)
+    pos, scale = 100, D**-0.5
+    mask = (jnp.arange(T) <= pos)[None, None, :]
+    for lyr in range(L):
+        want = _attend(q, k[lyr], v[lyr], mask, scale)
+        got = pa.decode_attention_v2_inner(
+            q, k, v, jnp.int32(pos), scale, layer=jnp.int32(lyr), interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
