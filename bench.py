@@ -109,6 +109,21 @@ def main() -> None:
             max_frames=max_frames, key=jax.random.PRNGKey(seed),
         )
 
+    def run_gen_audio(seed):
+        # generate + vocode as ONE device program (production generate() path
+        # since round 2: tts._generate_and_decode — no host round-trip
+        # between the decode loop and the vocoder)
+        from qwen3tts_tpu.tts import _generate_and_decode
+
+        return _generate_and_decode(
+            talker_params, cp_params, voc_params, talker_cfg=cfg, cp_cfg=cpc,
+            sampling=sampling, dec_cfg=vcfg,
+            prefill_embeds=prefill, prefill_len=jnp.int32(PREFILL_LEN),
+            trailing_embeds=trailing, trailing_len=jnp.int32(12),
+            tts_pad_embed=tts_pad, cache=make_cache(), max_steps=jnp.int32(FRAMES),
+            max_frames=max_frames, key=jax.random.PRNGKey(seed),
+        )
+
     # ---- warmup / compile ----
     t0 = time.time()
     carry = run_gen(0)
@@ -189,6 +204,7 @@ def main() -> None:
 
     # ---- timed runs ----
     n_runs = 3
+    # components (separate programs, for the breakdown log)
     gen_times, voc_times, frames_done = [], [], []
     for i in range(n_runs):
         t0 = time.time()
@@ -201,16 +217,35 @@ def main() -> None:
         jax.block_until_ready(wav)
         voc_times.append(time.time() - t0)
 
+    # headline: the single-program gen+vocoder production path
+    import numpy as np
+
+    @jax.jit
+    def _sum(x):  # scalar sync without the ~1 MB wav readback (tunnel is slow)
+        return x.sum()
+
+    _, nf, wav1, _l = run_gen_audio(9)
+    np.asarray(_sum(wav1))  # compile+warm (scalar readback = reliable sync)
+    e2e_times = []
+    for i in range(n_runs):
+        t0 = time.time()
+        codes_out, nf, wav1, _l = run_gen_audio(20 + i)
+        np.asarray(_sum(wav1))
+        e2e_times.append(time.time() - t0)
+        frames_done.append(int(nf))
+
     frames = min(frames_done)
     gen_t = sum(gen_times) / n_runs
     voc_t = sum(voc_times) / n_runs
+    e2e_t = sum(e2e_times) / n_runs
     audio_s = frames / CODEC_RATE
-    rtf = (gen_t + voc_t) / audio_s
+    rtf = e2e_t / audio_s
     frames_per_s = frames / gen_t
     codec_tokens_per_s = frames_per_s * 16
 
     log(f"frames: {frames}, gen {gen_t:.3f}s ({frames_per_s:.1f} frames/s, "
-        f"{codec_tokens_per_s:.0f} codec tok/s), vocoder {voc_t:.3f}s")
+        f"{codec_tokens_per_s:.0f} codec tok/s), vocoder {voc_t:.3f}s, "
+        f"fused e2e {e2e_t:.3f}s (vs split {gen_t + voc_t:.3f}s)")
     log(f"audio {audio_s:.2f}s  RTF {rtf:.4f}  (baseline {BASELINE_RTF})")
 
     print(

@@ -104,6 +104,57 @@ def _device_peak_memory_gb() -> float:
         return 0.0
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("talker_cfg", "cp_cfg", "sampling", "max_frames", "dec_cfg"),
+    donate_argnames=("cache",),
+)
+def _generate_and_decode(
+    talker_params,
+    cp_params,
+    voc_params,
+    *,
+    talker_cfg,
+    cp_cfg,
+    sampling,
+    dec_cfg,
+    prefill_embeds,
+    prefill_len,
+    trailing_embeds,
+    trailing_len,
+    tts_pad_embed,
+    cache,
+    max_steps,
+    max_frames,
+    key,
+):
+    """The whole utterance — prefill, AR decode loop, AND vocoder — as ONE
+    device program: the host is not involved between token generation and
+    audio synthesis (one dispatch per utterance instead of two; the decode
+    result never round-trips). Returns (codes, n_frames, wav, lengths)."""
+    res = gen_mod.generate_codes(
+        talker_params,
+        cp_params,
+        talker_cfg=talker_cfg,
+        cp_cfg=cp_cfg,
+        sampling=sampling,
+        prefill_embeds=prefill_embeds,
+        prefill_len=prefill_len,
+        trailing_embeds=trailing_embeds,
+        trailing_len=trailing_len,
+        tts_pad_embed=tts_pad_embed,
+        cache=cache,
+        max_steps=max_steps,
+        max_frames=max_frames,
+        key=key,
+    )
+    wav, lengths = vc_mod.decode(voc_params, dec_cfg, res.codes[None], res.n_frames)
+    return res.codes, res.n_frames, wav, lengths
+
+
 class Qwen3TTSModel:
     """Loaded model bundle + synthesis entry points."""
 
@@ -597,6 +648,57 @@ class Qwen3TTSModel:
             self._profile_replay(input_embeds, trailing, tts_pad, codes, n)
         return codes, n
 
+    # fused gen+vocoder is used when the frame bucket stays modest: the
+    # vocoder runs over the full (masked) bucket, so a large cap with a
+    # short utterance would waste vocoder compute on padding
+    FUSED_AUDIO_MAX_FRAMES = 256
+
+    def _run_generation_audio(
+        self, input_embeds, trailing, tts_pad, *, sampling, max_steps, seed
+    ) -> np.ndarray:
+        """Non-streaming synthesis; uses the single-program gen+vocoder path
+        when eligible (one device dispatch per utterance, no host round-trip
+        between decode loop and vocoder)."""
+        if self.cp_params is None or self.cp_cfg is None:
+            raise Qwen3TTSError("Code predictor not available")
+        if self.vocoder_params is None or self.tokenizer_config is None:
+            raise Qwen3TTSError("Speech tokenizer not loaded")
+        max_frames = pad_to_bucket(max_steps, GEN_BUCKETS)
+        if max_frames > self.FUSED_AUDIO_MAX_FRAMES:
+            codes, n = self._run_generation(
+                input_embeds, trailing, tts_pad,
+                sampling=sampling, max_steps=max_steps, seed=seed,
+            )
+            return self._decode_audio(codes, n)
+        prep = self._prep_run(input_embeds, trailing, tts_pad, max_steps)
+        dec_cfg = self.tokenizer_config.decoder_config
+        t0 = time.time()
+        with self._mesh_scope():
+            codes, n_frames, wav, lengths = _generate_and_decode(
+                self.talker_params,
+                self.cp_params,
+                self.vocoder_params,
+                talker_cfg=self.talker_cfg,
+                cp_cfg=self.cp_cfg,
+                sampling=sampling,
+                dec_cfg=dec_cfg,
+                **prep,
+                max_steps=jnp.int32(max_steps),
+                key=jax.random.PRNGKey(seed),
+            )
+            n = int(n_frames)
+        gen_t = time.time() - t0
+        if n == 0:
+            raise Qwen3TTSError("No tokens generated")
+        self._set_info(n, input_embeds.shape[1], 0.0, gen_t)
+        if self.activation_profiler is not None and self.activation_profiler.is_enabled:
+            self._profile_replay(input_embeds, trailing, tts_pad, np.asarray(codes), n)
+        out = np.asarray(wav)[0][: n * dec_cfg.total_upsample]
+        valid = int(lengths[0])
+        if 0 < valid < out.shape[0]:
+            out = out[:valid]
+        return out
+
     def _stream_codes(self, prep: dict, sampling: SamplingConfig, max_steps: int, seed: int):
         """Drive prefill_start + generate_chunk; yield between device chunks.
 
@@ -712,14 +814,16 @@ class Qwen3TTSModel:
         embeds, trailing, pad = self._prepare_generation_inputs(
             text, language=language, speaker=None, instruct=instruct
         )
+        sampling = self._sampling(temperature, top_k, top_p, repetition_penalty)
+        max_steps = self._effective_max_tokens(text, max_tokens)
+        if on_token is None:
+            return self._run_generation_audio(
+                embeds, trailing, pad, sampling=sampling, max_steps=max_steps,
+                seed=seed,
+            )
         codes, n = self._run_generation(
-            embeds,
-            trailing,
-            pad,
-            sampling=SamplingConfig(temperature, top_k, top_p, repetition_penalty),
-            max_steps=self._effective_max_tokens(text, max_tokens),
-            seed=seed,
-            on_token=on_token,
+            embeds, trailing, pad,
+            sampling=sampling, max_steps=max_steps, seed=seed, on_token=on_token,
         )
         return self._decode_audio(codes, n)
 
@@ -751,14 +855,16 @@ class Qwen3TTSModel:
         embeds, trailing, pad = self._prepare_generation_inputs(
             text, language=language, speaker=speaker, instruct=instruct
         )
+        sampling = self._sampling(temperature, top_k, top_p, repetition_penalty)
+        max_steps = self._effective_max_tokens(text, max_tokens)
+        if on_token is None:
+            return self._run_generation_audio(
+                embeds, trailing, pad, sampling=sampling, max_steps=max_steps,
+                seed=seed,
+            )
         codes, n = self._run_generation(
-            embeds,
-            trailing,
-            pad,
-            sampling=SamplingConfig(temperature, top_k, top_p, repetition_penalty),
-            max_steps=self._effective_max_tokens(text, max_tokens),
-            seed=seed,
-            on_token=on_token,
+            embeds, trailing, pad,
+            sampling=sampling, max_steps=max_steps, seed=seed, on_token=on_token,
         )
         return self._decode_audio(codes, n)
 
@@ -791,7 +897,7 @@ class Qwen3TTSModel:
             embeds,
             trailing,
             pad,
-            sampling=SamplingConfig(temperature, top_k, top_p, repetition_penalty),
+            sampling=self._sampling(temperature, top_k, top_p, repetition_penalty),
             max_steps=self._effective_max_tokens(text, max_tokens),
             seed=seed,
             on_token=on_token,
