@@ -75,6 +75,32 @@ class GenResult(NamedTuple):
     tokens: jnp.ndarray  # [max_frames] int32
 
 
+def _use_cp_kernel(cp_params, cp_cfg, talker_cfg, sampling: SamplingConfig) -> bool:
+    """Trace-time gate for the fused Pallas CP inner-loop kernel.
+
+    Engaged for the int8 serving config on TPU when the sampling subset the
+    kernel implements applies (top_p disabled, standard top-p semantics).
+    QWEN3TTS_NO_CP_KERNEL=1 forces the XLA path.
+    """
+    import os
+
+    if os.environ.get("QWEN3TTS_NO_CP_KERNEL"):
+        return False
+    if sampling.top_p < 1.0 or sampling.ref_exact_top_p:
+        return False
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        return False
+    from ..ops.cp_kernel import kernel_supported
+
+    return kernel_supported(cp_params, cp_cfg, talker_cfg.hidden_size)
+
+
+def _cpk_mode() -> str:
+    import os
+
+    return os.environ.get("QWEN3TTS_CPK_MODE", "wo_bf16")
+
+
 def _frame(
     talker_params,
     cp_params,
@@ -89,7 +115,10 @@ def _frame(
 ):
     """Sample codebook 0 + run the code predictor for one frame.
 
-    Returns (code0 [B], rest [B,15], is_eos scalar bool, seen', key').
+    Returns (code0 [B], rest [B,15], is_eos scalar bool, seen', key',
+    codec_sum). ``codec_sum`` is the summed 16-codebook embedding for the
+    next talker input ([B, h] float32) when the fused CP kernel produced it
+    as a byproduct, else None (the caller gathers it the XLA way).
     B must be 1: ``seen``/``is_eos`` bookkeeping reads index 0 only (the
     batched path lives in batch_generate.py with per-sequence state).
     """
@@ -116,6 +145,37 @@ def _frame(
     seen = seen.at[code0[0]].set(True)
     is_eos = code0[0] == eos_id
 
+    use_cpk = _use_cp_kernel(cp_params, cp_cfg, talker_cfg, sampling)
+    if use_cpk:
+        from ..ops.cp_kernel import predict_codes_fused
+
+        def run_cp():
+            rest, esum = predict_codes_fused(
+                cp_params,
+                cp_cfg,
+                talker_params,
+                hidden_last,
+                code0,
+                k_cp,
+                temperature=sampling.temperature,
+                top_k=sampling.top_k,
+                mode=_cpk_mode(),
+            )
+            csum = (
+                tk.embed_codec(talker_params, code0).astype(jnp.float32) + esum
+            )
+            return rest, csum
+
+        rest, codec_sum = jax.lax.cond(
+            is_eos,
+            lambda: (
+                jnp.zeros((code0.shape[0], cp_cfg.num_code_groups - 1), jnp.int32),
+                jnp.zeros((code0.shape[0], talker_cfg.hidden_size), jnp.float32),
+            ),
+            run_cp,
+        )
+        return code0, rest, is_eos, seen, key, codec_sum
+
     rest = jax.lax.cond(
         is_eos,
         lambda: jnp.zeros((code0.shape[0], cp_cfg.num_code_groups - 1), jnp.int32),
@@ -132,20 +192,25 @@ def _frame(
             ref_exact_top_p=sampling.ref_exact_top_p,
         ),
     )
-    return code0, rest, is_eos, seen, key
+    return code0, rest, is_eos, seen, key, None
 
 
 def _next_input(
-    cp_params, talker_params, trailing_embeds, trailing_len, tts_pad_embed, step, code0, rest
+    cp_params, talker_params, trailing_embeds, trailing_len, tts_pad_embed, step,
+    code0, rest, codec_sum=None,
 ):
     """trailing text (or pad) + sum of all 16 codebook embeddings
-    (reference Qwen3.swift:710-728)."""
+    (reference Qwen3.swift:710-728). ``codec_sum`` short-circuits the
+    embedding gathers when the fused CP kernel already summed them."""
     text = jnp.where(
         step < trailing_len,
         trailing_embeds[jnp.minimum(step, trailing_embeds.shape[0] - 1)],
         tts_pad_embed,
     )
-    codec = cp.sum_codec_embeddings(cp_params, talker_params, code0, rest)  # [B, h]
+    if codec_sum is None:
+        codec = cp.sum_codec_embeddings(cp_params, talker_params, code0, rest)
+    else:
+        codec = codec_sum  # [B, h] float32
     return (text[None] + codec.astype(text.dtype))[:, None]  # [B, 1, h]
 
 
@@ -191,7 +256,7 @@ def prefill_start(
     )
     logits_last = tk.codec_logits(talker_params, hidden_last[:, None])[:, 0]
 
-    code0, rest, is_eos, seen, key = _frame(
+    code0, rest, is_eos, seen, key, codec_sum = _frame(
         talker_params, cp_params, talker_cfg, cp_cfg, sampling, suppress_mask,
         hidden_last, logits_last, seen0, key,
     )
@@ -201,7 +266,7 @@ def prefill_start(
         eos=is_eos,
         cur_input=_next_input(
             cp_params, talker_params, trailing_embeds, trailing_len, tts_pad_embed,
-            jnp.int32(0), code0, rest,
+            jnp.int32(0), code0, rest, codec_sum,
         ),
         cache=cache,
         offset=prefill_len,
@@ -245,7 +310,7 @@ def generate_chunk(
             talker_params, talker_cfg, c.cur_input, c.cache, c.offset
         )
         logits_last = tk.codec_logits(talker_params, hidden)[:, 0]
-        code0, rest, is_eos, seen, key = _frame(
+        code0, rest, is_eos, seen, key, codec_sum = _frame(
             talker_params, cp_params, talker_cfg, cp_cfg, sampling, suppress_mask,
             hidden[:, 0], logits_last, c.seen, c.key,
         )
@@ -255,7 +320,7 @@ def generate_chunk(
             eos=is_eos,
             cur_input=_next_input(
                 cp_params, talker_params, trailing_embeds, trailing_len, tts_pad_embed,
-                c.step, code0, rest,
+                c.step, code0, rest, codec_sum,
             ),
             cache=cache,
             offset=c.offset + 1,

@@ -1,0 +1,494 @@
+"""Fused code-predictor inner loop: ONE Pallas kernel per talker frame.
+
+Motivation (measured on v5e, tools/microbench.py): the per-frame decode cost
+splits as talker 1.50 ms / code predictor 2.97 ms — the CP dominates. The
+reference runs the CP as 15 sequential single-token forwards per frame
+(reference: Sources/Qwen3TTS/Models/Qwen3.swift:674-705); under XLA each
+forward re-streams all 5 layers' weights from HBM (15 x ~74 MB int8 =
+1.1 GB/frame) and pays dispatch overhead for ~750 small ops plus 15
+samplings (~0.6 ms). This kernel keeps the ENTIRE int8 layer stack resident
+in VMEM across the 16-position inner loop and runs matvecs, GQA attention
+over the 16-slot cache, LM-head logits, top-k categorical sampling, and the
+next-step embedding fetch as one device op. Weights are read from HBM once
+per frame instead of 15 times.
+
+What stays in HBM and is DMA'd per step (indices are loop counters — Mosaic
+rejects data-dependent DMA indices, measured via tools/exp_cpk.py):
+  * lm_head[j]           [H, V] int8   (~2 MB, triple-buffered)
+  * codec_embedding[j]   [V, H] bf16   (~4 MB, triple-buffered); the sampled
+    row is extracted with a one-hot matmul so the sampled code never leaves
+    vector registers.
+
+Matmul modes (static):
+  * "dyn_int8": per-matvec dynamic activation quantization, s8 x s8 -> s32
+    on the MXU (2x int8 MXU throughput on v5e, no dequant temporaries).
+  * "wo_bf16":  weight-only — int8 weights converted to bf16 per use;
+    numerically closest to the XLA Int8Linear path.
+
+Sampling semantics match ops/sampling.py for the CP's parameter subset
+(temperature / top-k; top_p==1.0 — the kernel is gated off otherwise):
+top-k is found by 24-step binary search on the threshold (exact unless two
+logits are within ~2^-24 of the k-th value) and the categorical draw uses
+the Gumbel-max trick on the TPU core PRNG. The host-side RNG stream differs
+from jax.random.categorical by construction; temperature<=0 (greedy argmax,
+first-max tie-break) is bit-identical given equal logits.
+
+The per-codebook heads/tables and the 2-token prefill mirror
+cp.predict_codes exactly: positions 0..15, sampling heads 0..14 after
+positions 1..15. As a byproduct the kernel also returns the sum of the 15
+sampled codebook embeddings (the XLA path recomputes those gathers in
+cp.sum_codec_embeddings for the next talker input — here they are already
+in VMEM).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _cp_kernel(
+    # static
+    shapes: dict,
+    mode: str,
+    temperature: float,
+    top_k: int,
+    eps: float,
+    # scalar prefetch
+    seed_ref,  # SMEM [2] int32 PRNG seed words
+    # VMEM inputs
+    x0_ref,  # [2, H] bf16: [projected last_hidden, embed(code0)]
+    cos_ref,  # [SLOTS, D] f32
+    sin_ref,
+    wq_ref, sq_ref,  # [L, H, NQ*D] int8, [L, 1, NQ*D] f32
+    wk_ref, sk_ref,  # [L, H, NKV*D]
+    wv_ref, sv_ref,
+    wo_ref, so_ref,  # [L, NQ*D, H]
+    wg_ref, sg_ref,  # [L, H, I]
+    wu_ref, su_ref,
+    wd_ref, sd_ref,  # [L, I, H]
+    iln_ref,  # [L, 1, H] f32 norm weights
+    pln_ref,
+    qn_ref,  # [L, 1, D]
+    kn_ref,
+    fn_ref,  # [1, H]
+    lms_ref,  # [16, V] f32 lm_head scales (row j = head j; row 15 unused)
+    # HBM inputs
+    lmh_hbm,  # [NCB, H, V] int8
+    emb_hbm,  # [NCB, V, H] bf16
+    # outputs
+    codes_ref,  # VMEM [1, 128] int32 (lanes 0..14 = codes)
+    esum_ref,  # VMEM [1, H] f32: sum of the 15 sampled embedding rows
+    logits_ref,  # VMEM [16, V] f32 (row j = head j logits; row 15 unused)
+    # scratch
+    kf_ref,  # VMEM [L, NKV*SLOTS, D] bf16 (row h*SLOTS+t)
+    vf_ref,
+    hbuf_ref,  # VMEM [3, H, V] int8 lm_head slices
+    ebuf_ref,  # VMEM [3, V, H] bf16 embedding tables
+    hsem, esem,  # DMA semaphores (3,) each
+):
+    H, D, NQ, NKV, I, V, L, NCB, SLOTS = (
+        shapes[k] for k in ("H", "D", "NQ", "NKV", "I", "V", "L", "NCB", "SLOTS")
+    )
+    KVROWS = NKV * SLOTS
+    scale = D**-0.5
+
+    if temperature > 0:
+        pltpu.prng_seed(seed_ref[0], seed_ref[1])
+
+    def head_dma(j, slot):
+        return pltpu.make_async_copy(lmh_hbm.at[j], hbuf_ref.at[slot], hsem.at[slot])
+
+    def emb_dma(j, slot):
+        return pltpu.make_async_copy(emb_hbm.at[j], ebuf_ref.at[slot], esem.at[slot])
+
+    # prefetch: heads 0..2 (the loop prefetches p+1 two iterations ahead,
+    # so heads 0-2 must already be in flight) and embedding table 0
+    head_dma(0, 0).start()
+    head_dma(1, 1).start()
+    if NCB > 2:
+        head_dma(2, 2).start()
+    emb_dma(0, 0).start()
+
+    # zero the KV caches: masked slots contribute 0-weighted rows to the
+    # probs @ V dot, and 0 * garbage (NaN/Inf bit patterns) would poison it
+    kf_ref[...] = jnp.zeros_like(kf_ref)
+    vf_ref[...] = jnp.zeros_like(vf_ref)
+
+    def rms(x, w_row):  # x [R, C] bf16, w_row [1, C] f32 -> bf16
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(var + eps) * w_row).astype(jnp.bfloat16)
+
+    def mv(x, w_ref, l, s_ref):
+        """x [1, K] bf16 @ int8 [K, N] * scale [1, N] -> [1, N] bf16."""
+        if mode == "dyn_int8":
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)  # [1, 1]
+            s = jnp.maximum(amax * (1.0 / 127.0), 1e-12)
+            xq = jnp.round(xf / s).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, w_ref[l], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * (s * s_ref[l])
+        else:
+            w = w_ref[l].astype(jnp.bfloat16)
+            y = jax.lax.dot_general(
+                x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            y = y * s_ref[l]
+        return y.astype(jnp.bfloat16)
+
+    def rope(x, cos_row, sin_row):  # x [Hh, D] bf16; rows [1, D] bf16
+        half = D // 2
+        rot = jnp.concatenate([-x[:, half:], x[:, :half]], axis=-1)
+        return x * cos_row + rot * sin_row
+
+    def pick_row(table, idx):  # masked-reduce dynamic row read -> [1, C]
+        ri = jax.lax.broadcasted_iota(jnp.int32, table.shape, 0)
+        return jnp.sum(jnp.where(ri == idx, table, 0.0), axis=0, keepdims=True)
+
+    row128 = jax.lax.broadcasted_iota(jnp.int32, (KVROWS, D), 0)  # cache rows
+
+    def forward(x, p):
+        """One position through all L layers. x [1, H] bf16, p scalar pos."""
+        cos_row = pick_row(cos_ref[...], p).astype(jnp.bfloat16)
+        sin_row = pick_row(sin_ref[...], p).astype(jnp.bfloat16)
+        h = x
+        for l in range(L):
+            xn = rms(h, iln_ref[l])
+            q = mv(xn, wq_ref, l, sq_ref).reshape(NQ, D)
+            k = mv(xn, wk_ref, l, sk_ref).reshape(NKV, D)
+            v = mv(xn, wv_ref, l, sv_ref).reshape(NKV, D)
+            q = rms(q, qn_ref[l])
+            k = rms(k, kn_ref[l])
+            q = rope(q, cos_row, sin_row)
+            k = rope(k, cos_row, sin_row)
+
+            # append k/v at slot p: rows h*SLOTS+p  (masked full-buffer update
+            # — Mosaic rejects bf16 dynamic-sublane stores)
+            k_b = jnp.broadcast_to(k[:, None, :], (NKV, SLOTS, D)).reshape(KVROWS, D)
+            v_b = jnp.broadcast_to(v[:, None, :], (NKV, SLOTS, D)).reshape(KVROWS, D)
+            sel = (row128 % SLOTS) == p
+            kf_ref[l] = jnp.where(sel, k_b, kf_ref[l])
+            vf_ref[l] = jnp.where(sel, v_b, vf_ref[l])
+
+            # all-heads GQA over the 16-slot cache in two MXU ops:
+            # scores[qh, h*SLOTS+t] valid iff h == qh // (NQ/NKV) and t <= p
+            s = jax.lax.dot_general(
+                q, kf_ref[l], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [NQ, KVROWS]
+            qh = jax.lax.broadcasted_iota(jnp.int32, (NQ, KVROWS), 0)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (NQ, KVROWS), 1)
+            group = NQ // NKV
+            valid = ((rr // SLOTS) == (qh // group)) & ((rr % SLOTS) <= p)
+            s = jnp.where(valid, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+            attn = jax.lax.dot_general(
+                probs, vf_ref[l], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)  # [NQ, D]
+
+            h = h + mv(attn.reshape(1, NQ * D), wo_ref, l, so_ref)
+            xn = rms(h, pln_ref[l])
+            gate = mv(xn, wg_ref, l, sg_ref).astype(jnp.float32)
+            up = mv(xn, wu_ref, l, su_ref).astype(jnp.float32)
+            gated = (gate * jax.nn.sigmoid(gate) * up).astype(jnp.bfloat16)
+            h = h + mv(gated, wd_ref, l, sd_ref)
+        return h
+
+    lane_v = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+
+    def sample(hp, h):
+        """Head hp logits + sample. Returns code [1,1] i32 (writes logits)."""
+        hn = rms(h, fn_ref[...])
+        hslot = jax.lax.rem(hp, 3)
+        pltpu.make_async_copy(lmh_hbm.at[hp], hbuf_ref.at[hslot], hsem.at[hslot]).wait()
+        if mode == "dyn_int8":
+            xf = hn.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            s = jnp.maximum(amax * (1.0 / 127.0), 1e-12)
+            xq = jnp.round(xf / s).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, hbuf_ref[hslot], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            logits = acc.astype(jnp.float32) * s
+        else:
+            logits = jax.lax.dot_general(
+                hn, hbuf_ref[hslot].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        logits = logits * pick_row(lms_ref[...], hp)  # [1, V] f32
+        logits_ref[pl.ds(hp, 1), :] = logits
+
+        if temperature <= 0:
+            z = logits
+        else:
+            z = logits
+            if 0 < top_k < V:
+                # k-th-largest threshold by binary search on the value
+                lo0 = jnp.min(z, axis=-1, keepdims=True)
+                hi0 = jnp.max(z, axis=-1, keepdims=True)
+
+                def bs(_, lh):
+                    lo, hi = lh
+                    mid = 0.5 * (lo + hi)
+                    cnt = jnp.sum((z >= mid).astype(jnp.float32), axis=-1, keepdims=True)
+                    ge = cnt >= top_k
+                    return jnp.where(ge, mid, lo), jnp.where(ge, hi, mid)
+
+                lo, _ = jax.lax.fori_loop(0, 24, bs, (lo0, hi0))
+                z = jnp.where(z >= lo, z, NEG_INF)
+            bits = pltpu.prng_random_bits((1, V))
+            # Mosaic can't cast uint32 -> f32; mask to 24 positive int32 bits
+            b24 = pltpu.bitcast(bits, jnp.int32) & jnp.int32(0xFFFFFF)
+            u = b24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+            gumbel = -jnp.log(-jnp.log(u))
+            z = z * (1.0 / temperature) + gumbel
+        m = jnp.max(z, axis=-1, keepdims=True)
+        return jnp.min(jnp.where(z == m, lane_v, V), axis=-1, keepdims=True)
+
+    # ---- peeled positions 0 and 1 (the 2-token "prefill") ----
+    forward(x0_ref[0:1, :], 0)
+    h = forward(x0_ref[1:2, :], 1)
+    c = sample(0, h)  # codebook-1 code
+    codes = jnp.where(lane_v[:, :128] == 0, c, jnp.zeros((1, 128), jnp.int32))
+    esum = jnp.zeros((1, H), jnp.float32)
+
+    # ---- positions 2..SLOTS-1 ----
+    def step(p, carry):
+        prev_c, codes, esum = carry
+        j = p - 2  # embedding table feeding this position
+        # prefetch next embedding table / lm_head (loop-counter indices only)
+        @pl.when(j + 1 <= NCB - 1)
+        def _():
+            emb_dma(j + 1, jax.lax.rem(j + 1, 3)).start()
+
+        @pl.when(p + 1 <= NCB - 1)
+        def _():
+            head_dma(p + 1, jax.lax.rem(p + 1, 3)).start()
+
+        eslot = jax.lax.rem(j, 3)
+        emb_dma(j, eslot).wait()
+        onehot = (lane_v == prev_c).astype(jnp.bfloat16)  # [1, V]
+        row = jax.lax.dot_general(
+            onehot, ebuf_ref[eslot], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, H]
+        esum = esum + row
+        h = forward(row.astype(jnp.bfloat16), p)
+        c = sample(p - 1, h)
+        codes = jnp.where(lane_v[:, :128] == (p - 1), c, codes)
+        return c, codes, esum
+
+    c, codes, esum = jax.lax.fori_loop(2, SLOTS, step, (c, codes, esum))
+
+    # last code's embedding row (table NCB-1, prefetched by the p==SLOTS-1
+    # iteration) — needed only for the embedding sum
+    eslot = jax.lax.rem(NCB - 1, 3)
+    emb_dma(NCB - 1, eslot).wait()
+    onehot = (lane_v == c).astype(jnp.bfloat16)
+    row = jax.lax.dot_general(
+        onehot, ebuf_ref[eslot], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    esum_ref[...] = esum + row
+    codes_ref[...] = codes
+
+
+def _shapes(cp_cfg, talker_h: int) -> dict:
+    return dict(
+        H=cp_cfg.hidden_size,
+        D=cp_cfg.head_dim,
+        NQ=cp_cfg.num_attention_heads,
+        NKV=cp_cfg.num_key_value_heads,
+        I=cp_cfg.intermediate_size,
+        V=cp_cfg.vocab_size,
+        L=cp_cfg.num_hidden_layers,
+        NCB=cp_cfg.num_code_groups - 1,
+        SLOTS=cp_cfg.num_code_groups,
+    )
+
+
+def kernel_supported(cp_params, cp_cfg, talker_h: int) -> bool:
+    """True if this CP parameterization fits the fused kernel.
+
+    Requires: Int8Linear layer weights (the serving config), no
+    small-to-MTP projection (talker_h == cp hidden), dense (unquantized)
+    embedding tables, 128-aligned dims, and a VMEM-resident footprint that
+    fits v5e (~128 MB, we budget 100).
+    """
+    from .quant import Int8Linear
+
+    if "small_to_mtp_projection" in cp_params:
+        return False
+    layers = cp_params["layers"]
+    need = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
+    if any(k not in layers or not isinstance(layers[k], Int8Linear) for k in need):
+        return False
+    if not isinstance(cp_params["lm_head"], Int8Linear):
+        return False
+    if isinstance(cp_params["codec_embedding"], Int8Linear):
+        return False
+    s = _shapes(cp_cfg, talker_h)
+    if s["H"] % 128 or s["I"] % 128 or s["V"] % 128 or s["D"] != 128:
+        return False
+    if s["NKV"] * s["SLOTS"] != 128:
+        return False
+    weight_bytes = s["L"] * (
+        s["H"] * (s["NQ"] + 2 * s["NKV"]) * s["D"] + s["NQ"] * s["D"] * s["H"]
+        + 3 * s["H"] * s["I"]
+    )
+    buf_bytes = 3 * s["H"] * s["V"] + 3 * s["V"] * s["H"] * 2
+    return weight_bytes + buf_bytes < 100 * 2**20
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cp_cfg", "talker_h", "temperature", "top_k", "mode", "interpret"),
+)
+def _call(
+    cp_params,
+    x0,
+    seed,
+    *,
+    cp_cfg,
+    talker_h: int,
+    temperature: float,
+    top_k: int,
+    mode: str,
+    interpret: bool,
+):
+    s = _shapes(cp_cfg, talker_h)
+    L, H, D, V, NCB, SLOTS = s["L"], s["H"], s["D"], s["V"], s["NCB"], s["SLOTS"]
+    layers = cp_params["layers"]
+
+    from ..ops.rope import rope_cos_sin
+
+    cos, sin = rope_cos_sin(
+        jnp.arange(SLOTS, dtype=jnp.int32)[None], D, cp_cfg.rope_theta, jnp.float32
+    )
+    cos, sin = cos[0], sin[0]  # [SLOTS, D]
+
+    def nrm(w):  # [L, C] -> [L, 1, C] f32
+        return w.astype(jnp.float32)[:, None, :]
+
+    lm = cp_params["lm_head"]
+    lms = jnp.zeros((NCB + 1, V), jnp.float32).at[:NCB].set(lm.scale[:, 0, :])
+
+    kernel = functools.partial(
+        _cp_kernel, s, mode, float(temperature), int(top_k), float(cp_cfg.rms_norm_eps)
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_ = pl.BlockSpec(memory_space=pltpu.ANY)
+    n_vmem_in = 23
+    codes, esum, logits = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[vmem] * n_vmem_in + [any_, any_],
+            out_specs=[vmem, vmem, vmem],
+            scratch_shapes=[
+                pltpu.VMEM((L, 128, D), jnp.bfloat16),
+                pltpu.VMEM((L, 128, D), jnp.bfloat16),
+                pltpu.VMEM((3, H, V), jnp.int8),
+                pltpu.VMEM((3, V, H), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((NCB + 1, V), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 2**20,
+        ),
+        interpret=interpret,
+    )(
+        seed,
+        x0,
+        cos,
+        sin,
+        layers["q_proj"].q, layers["q_proj"].scale,
+        layers["k_proj"].q, layers["k_proj"].scale,
+        layers["v_proj"].q, layers["v_proj"].scale,
+        layers["o_proj"].q, layers["o_proj"].scale,
+        layers["gate_proj"].q, layers["gate_proj"].scale,
+        layers["up_proj"].q, layers["up_proj"].scale,
+        layers["down_proj"].q, layers["down_proj"].scale,
+        nrm(layers["input_layernorm"]),
+        nrm(layers["post_attention_layernorm"]),
+        nrm(layers["q_norm"]),
+        nrm(layers["k_norm"]),
+        cp_params["norm"].astype(jnp.float32)[None],
+        lms,
+        lm.q,
+        cp_params["codec_embedding"].astype(jnp.bfloat16),
+    )
+    return codes, esum, logits
+
+
+def predict_codes_fused(
+    cp_params,
+    cp_cfg,
+    talker_params,
+    last_hidden,  # [1, talker_h]
+    code0,  # [1] int32
+    key,
+    *,
+    temperature: float,
+    top_k: int,
+    mode: str = "dyn_int8",
+    interpret: bool = False,
+    return_logits: bool = False,
+):
+    """Drop-in fused replacement for cp.predict_codes (B=1, top_p==1).
+
+    Returns (codes [1, NCB] int32, emb_sum [1, H] f32) — emb_sum is the sum
+    of the 15 sampled per-codebook embedding rows (cp.sum_codec_embeddings
+    minus the talker codec embedding of code0, which the caller adds).
+    """
+    from ..models.code_predictor import _embed
+
+    talker_h = last_hidden.shape[-1]
+    s = _shapes(cp_cfg, talker_h)
+    code0_embed = _embed(talker_params["codec_embedding"], code0).astype(jnp.bfloat16)
+    x0 = jnp.concatenate(
+        [last_hidden.astype(jnp.bfloat16), code0_embed], axis=0
+    )  # [2, H]
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(key).reshape(-1)
+    else:
+        kd = key.reshape(-1)  # raw uint32 [2] PRNGKey
+    seed = jnp.stack([kd[0], kd[-1]]).astype(jnp.int32)
+    codes, esum, logits = _call(
+        cp_params,
+        x0,
+        seed,
+        cp_cfg=cp_cfg,
+        talker_h=talker_h,
+        temperature=float(temperature),
+        top_k=int(top_k),
+        mode=mode,
+        interpret=interpret,
+    )
+    out = codes[:, : s["NCB"]]
+    if return_logits:
+        return out, esum, logits[: s["NCB"]]
+    return out, esum

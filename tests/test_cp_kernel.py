@@ -1,0 +1,146 @@
+"""Fused CP-inner-loop kernel vs the XLA predict_codes path.
+
+Greedy teacher-forced comparison: the kernel's sampled codes are replayed
+through the XLA code-predictor step by step and the per-head logits are
+compared. This validates every moving part (VMEM-resident matvecs, the
+16-slot flat-cache attention, rope, rms norms, lm-head DMA, one-hot
+embedding gather, greedy argmax, the embedding-row sum) without depending
+on argmax tie-breaks under tiny synthetic logit gaps.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3tts_tpu.config import CodePredictorConfig
+from qwen3tts_tpu.models import code_predictor as cp
+from qwen3tts_tpu.ops.cp_kernel import kernel_supported, predict_codes_fused
+from qwen3tts_tpu.ops.quant import quantize_decode_params_int8
+
+
+def _tiny_cfg():
+    return CodePredictorConfig(
+        vocab_size=512,
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=2,
+        num_attention_heads=16,
+        num_key_value_heads=8,
+        head_dim=128,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _tiny_cfg()
+    talker_h = cfg.hidden_size
+    key = jax.random.PRNGKey(0)
+    cpp = cp.init_code_predictor_params(key, cfg, talker_h, jnp.bfloat16)
+    cpp = quantize_decode_params_int8(cpp, "lm_head")
+    talker_params = {
+        "codec_embedding": jax.random.normal(
+            jax.random.PRNGKey(7), (cfg.vocab_size, talker_h), jnp.float32
+        ).astype(jnp.bfloat16)
+        * 0.02
+    }
+    hidden = (
+        jax.random.normal(jax.random.PRNGKey(3), (1, talker_h), jnp.float32) * 0.3
+    ).astype(jnp.bfloat16)
+    code0 = jnp.array([17], jnp.int32)
+    return cfg, cpp, talker_params, hidden, code0
+
+
+def _teacher_forced_logits(cfg, cpp, talker_params, hidden, code0, codes):
+    """XLA CP forward replaying `codes` [NCB]; returns logits [NCB, V]."""
+    cache = cp.make_cp_cache(cfg, 1, jnp.bfloat16)
+    code0_embed = cp._embed(talker_params["codec_embedding"], code0).astype(
+        hidden.dtype
+    )
+    x0 = jnp.stack([hidden[0], code0_embed[0]], axis=0)[None]  # [1, 2, H]
+    h, cache = cp.forward(cpp, cfg, x0, cache, jnp.int32(0))
+    logits = [cp.head_logits(cpp, h[:, -1], 0)[0]]
+    for idx in range(1, cfg.num_code_groups - 1):
+        emb = cp._embed(cpp["codec_embedding"][idx - 1], codes[idx - 1 : idx]).astype(
+            hidden.dtype
+        )
+        h, cache = cp.forward(cpp, cfg, emb[:, None], cache, jnp.int32(idx + 1))
+        logits.append(cp.head_logits(cpp, h[:, -1], idx)[0])
+    return jnp.stack(logits)  # [NCB, V]
+
+
+def test_kernel_supported(setup):
+    cfg, cpp, *_ = setup
+    assert kernel_supported(cpp, cfg, cfg.hidden_size)
+    # dense (non-int8) params are not eligible
+    dense = cp.init_code_predictor_params(
+        jax.random.PRNGKey(1), cfg, cfg.hidden_size, jnp.bfloat16
+    )
+    assert not kernel_supported(dense, cfg, cfg.hidden_size)
+
+
+# wo_bf16: bf16 rounding noise only. dyn_int8: adds per-tensor int8
+# activation quantization (~0.18 sigma on logits) — an opt-in speed mode.
+@pytest.mark.parametrize("mode,tol", [("wo_bf16", 0.06), ("dyn_int8", 0.25)])
+def test_greedy_teacher_forced(setup, mode, tol):
+    cfg, cpp, talker_params, hidden, code0 = setup
+    codes, esum, logits_k = predict_codes_fused(
+        cpp, cfg, talker_params, hidden, code0, jax.random.PRNGKey(5),
+        temperature=0.0, top_k=50, mode=mode, interpret=True, return_logits=True,
+    )
+    codes = np.asarray(codes)[0]
+    logits_x = np.asarray(
+        _teacher_forced_logits(cfg, cpp, talker_params, hidden, code0, jnp.asarray(codes)),
+        np.float32,
+    )
+    logits_k = np.asarray(logits_k, np.float32)
+
+    # per-step logits agree within tolerance (scaled by the logit spread)
+    scale = np.std(logits_x, axis=-1, keepdims=True) + 1e-6
+    rel = np.abs(logits_k - logits_x) / scale
+    assert rel.max() < tol, f"max scaled logit diff {rel.max():.4f} (mode={mode})"
+
+    # greedy consistency: kernel code == XLA argmax wherever the XLA top-2
+    # gap exceeds the observed numeric noise
+    top2 = np.sort(logits_x, axis=-1)[:, -2:]
+    gap = (top2[:, 1] - top2[:, 0]) / scale[:, 0]
+    noise = rel.max(axis=1) * 2  # per-step numeric noise bound
+    decisive = gap > noise
+    # dyn_int8's activation-quant noise makes fewer random-weight steps
+    # decisive; the logits check above is the primary correctness signal
+    assert decisive.sum() >= (8 if mode == "wo_bf16" else 3)
+    assert (codes[decisive] == logits_x.argmax(-1)[decisive]).all()
+
+    # embedding-row sum matches a recomputation from the sampled codes
+    per_cb = np.stack(
+        [
+            np.asarray(cpp["codec_embedding"][j], np.float32)[codes[j]]
+            for j in range(cfg.num_code_groups - 1)
+        ]
+    ).sum(0)
+    np.testing.assert_allclose(np.asarray(esum)[0], per_cb, rtol=2e-2, atol=2e-2)
+
+
+def test_sampled_codes_in_topk(setup):
+    cfg, cpp, talker_params, hidden, code0 = setup
+    try:
+        codes, esum, logits_k = predict_codes_fused(
+            cpp, cfg, talker_params, hidden, code0, jax.random.PRNGKey(11),
+            temperature=0.9, top_k=8, mode="wo_bf16", interpret=True,
+            return_logits=True,
+        )
+    except Exception as e:  # pragma: no cover - interpret-mode PRNG support
+        pytest.skip(f"interpret-mode PRNG unsupported here: {e}")
+    codes = np.asarray(codes)[0]
+    logits_k = np.asarray(logits_k, np.float32)
+    for step in range(cfg.num_code_groups - 1):
+        kth = np.sort(logits_k[step])[-8]
+        assert logits_k[step, codes[step]] >= kth - 1e-5, step
+    # two different keys give different draws
+    codes2, _ = predict_codes_fused(
+        cpp, cfg, talker_params, hidden, code0, jax.random.PRNGKey(12),
+        temperature=0.9, top_k=8, mode="wo_bf16", interpret=True,
+    )
+    assert (np.asarray(codes2)[0] != codes).any()
