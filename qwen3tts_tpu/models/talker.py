@@ -296,6 +296,31 @@ def forward(
 
     import os
 
+    # Fused whole-step Pallas kernel (ops/talker_kernel.py): all L layers as
+    # one grid program with double-buffered int8 weight streaming. Covers the
+    # int8-serving decode hot path (B=1, S=1, fused Int8Linear layout).
+    if (
+        S == 1
+        and B == 1
+        and T_max % 128 == 0
+        and jax.devices()[0].platform in ("tpu", "axon")
+        and not os.environ.get("QWEN3TTS_NO_TALKER_KERNEL")
+    ):
+        from ..ops.talker_kernel import step_supported, talker_decode_step
+
+        if step_supported(params, cfg):
+            h, k_new, v_new = talker_decode_step(
+                params, cfg, inputs_embeds, cache.k, cache.v, offset, cos, sin
+            )
+            k_all = jax.lax.dynamic_update_slice(
+                cache.k, k_new[:, None, :, None, :], (0, 0, 0, offset, 0)
+            )
+            v_all = jax.lax.dynamic_update_slice(
+                cache.v, v_new[:, None, :, None, :], (0, 0, 0, offset, 0)
+            )
+            h = rms_norm(h, params["norm"], eps)
+            return h, KVCache(k_all, v_all)
+
     # Prefix-streaming kernel economics (re-measured round 2 with the
     # all-heads stripe kernel, ops/attention.py): at T<=2048 right-sized
     # caches the attention op is ~20us and overhead-bound — XLA ties or

@@ -1,0 +1,323 @@
+"""Fused talker decode step: all 28 layers as ONE Pallas grid program.
+
+After the CP kernel landed, the talker step dominates the frame
+(1.50 of 2.54 ms on v5e, tools/microbench.py). The XLA scan-over-layers
+path runs ~9 ops/layer and gives the compiler no way to prefetch the next
+layer's weights while the current layer computes — each int8 matvec stalls
+on its own HBM read (~19 us/layer of weight traffic, measured ~51 us/layer
+end-to-end).
+
+This kernel runs the whole step as ``grid=(L,)``: the per-layer int8
+weight blocks (fused qkv / o / gate_up / down, the production serving
+layout) are BlockSpec-indexed by the grid step, so Pallas double-buffers
+the HBM->VMEM weight stream automatically — layer l+1's weights fly in
+while layer l computes. The residual stream rides a VMEM scratch across
+grid steps. Attention streams only the VALID cache prefix through a
+double-buffered block pipeline with flash-style online softmax (the XLA
+path reads the full T_max rows every step), and the current token's k/v
+join the softmax as a final virtual block. The new k/v rows are returned
+stacked [L, Hkv, D] so the caller appends them with ONE
+dynamic_update_slice per cache (the round-1 finding stands: single-row
+VMEM->HBM bf16 DMAs violate Mosaic sublane tiling).
+
+Matmul modes (static, same semantics as ops/cp_kernel.py):
+  * "wo_bf16":  weight-only int8 -> bf16 convert per matvec (default;
+    numerically matches the XLA Int8Linear path).
+  * "dyn_int8": per-matvec activation quant, s8 x s8 -> s32 MXU.
+
+Scope: B=1, S=1 decode with fused Int8Linear projections on TPU — the
+int8 serving hot path. Everything else stays on the XLA scan path
+(models/talker.py:forward).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _talker_step_kernel(
+    shapes: dict,
+    mode: str,
+    eps: float,
+    block_t: int,
+    # scalar prefetch
+    pos_ref,  # SMEM [1] int32: tokens already in cache (current goes to slot pos)
+    # blocked per-layer inputs (leading dim 1 = this grid step's layer)
+    qkv_w_ref, qkv_s_ref,  # [1, H, NQD+2KVD] int8, [1, 1, ...] f32
+    o_w_ref, o_s_ref,  # [1, NQD, H]
+    gu_w_ref, gu_s_ref,  # [1, H, 2I]
+    d_w_ref, d_s_ref,  # [1, I, H]
+    iln_ref, pln_ref,  # [1, 1, H] f32
+    qn_ref, kn_ref,  # [1, 1, D] f32
+    # unblocked inputs
+    cos_ref, sin_ref,  # [1, D] f32 (position pos)
+    x_ref,  # [1, H] bf16 input embedding
+    k_hbm, v_hbm,  # ANY [L, 1, Hkv, T, D] bf16 cache (rows 0..pos-1 valid)
+    # outputs
+    h_out_ref,  # [1, H] bf16 hidden after all layers (pre final-norm)
+    k_out_ref, v_out_ref,  # blocked [1, Hkv, D] bf16 per layer
+    # scratch
+    h_scr,  # VMEM [1, H] bf16 residual stream
+    kbuf, vbuf,  # VMEM [2, Hkv, block_t, D] bf16
+    sems,  # DMA (2, 2)
+):
+    H, D, NQ, NKV, I = (shapes[k] for k in ("H", "D", "NQ", "NKV", "I"))
+    G = NQ // NKV
+    scale = D**-0.5
+    l = pl.program_id(0)
+    pos = pos_ref[0]
+    T = k_hbm.shape[3]
+    n_valid = (pos + block_t - 1) // block_t  # prefix blocks (rows < pos)
+
+    def read(slot, blk):
+        start = blk * block_t
+        kd = pltpu.make_async_copy(
+            k_hbm.at[l, 0, :, pl.ds(start, block_t), :], kbuf.at[slot],
+            sems.at[slot, 0],
+        )
+        vd = pltpu.make_async_copy(
+            v_hbm.at[l, 0, :, pl.ds(start, block_t), :], vbuf.at[slot],
+            sems.at[slot, 1],
+        )
+        return kd, vd
+
+    @pl.when(n_valid > 0)
+    def _():
+        kd, vd = read(0, 0)
+        kd.start()
+        vd.start()
+
+    @pl.when(l == 0)
+    def _():
+        h_scr[...] = x_ref[...]
+
+    def rms(x, w_row):
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(var + eps) * w_row).astype(jnp.bfloat16)
+
+    def mv(x, w_ref, s_ref):
+        if mode == "dyn_int8":
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+            s = jnp.maximum(amax * (1.0 / 127.0), 1e-12)
+            xq = jnp.round(xf / s).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, w_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * (s * s_ref[0])
+        else:
+            w = w_ref[0].astype(jnp.bfloat16)
+            y = jax.lax.dot_general(
+                x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            y = y * s_ref[0]
+        return y.astype(jnp.bfloat16)
+
+    cos_row = cos_ref[...].astype(jnp.bfloat16)  # [1, D]
+    sin_row = sin_ref[...].astype(jnp.bfloat16)
+
+    def rope(x):
+        half = D // 2
+        rot = jnp.concatenate([-x[:, half:], x[:, :half]], axis=-1)
+        return x * cos_row + rot * sin_row
+
+    h = h_scr[...]
+    xn = rms(h, iln_ref[0])
+    qkv = mv(xn, qkv_w_ref, qkv_s_ref)  # [1, NQD + 2 KVD]
+    q = qkv[:, : NQ * D].reshape(NQ, D)
+    k = qkv[:, NQ * D : (NQ + NKV) * D].reshape(NKV, D)
+    v = qkv[:, (NQ + NKV) * D :].reshape(NKV, D)
+    q = rope(rms(q, qn_ref[0]))
+    k = rope(rms(k, kn_ref[0]))
+    k_out_ref[0] = k
+    v_out_ref[0] = v
+
+    # --- prefix-streaming flash attention + current-token virtual block ---
+    qg = (q.astype(jnp.float32) * scale).reshape(NKV, G, D)
+    m0 = jnp.full((NKV, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((NKV, G, 1), jnp.float32)
+    a0 = jnp.zeros((NKV, G, D), jnp.float32)
+
+    def body(b, carry):
+        m, s_l, acc = carry
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < n_valid)
+        def _():
+            kd, vd = read(1 - slot, b + 1)
+            kd.start()
+            vd.start()
+
+        kd, vd = read(slot, b)
+        kd.wait()
+        vd.wait()
+        k_blk = kbuf[slot].astype(jnp.float32)  # [NKV, BT, D]
+        v_blk = vbuf[slot].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qg, k_blk, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [NKV, G, BT]
+        t_idx = b * block_t + jax.lax.broadcasted_iota(
+            jnp.int32, (NKV, G, block_t), 2
+        )
+        s = jnp.where(t_idx < pos, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        s_l = s_l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, s_l, acc
+
+    m, s_l, acc = jax.lax.fori_loop(0, n_valid, body, (m0, l0, a0))
+
+    # current token: score q . k_cur per kv head, fold into the softmax
+    s_cur = jax.lax.dot_general(
+        qg, k.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(NKV, G, 1)
+    m_f = jnp.maximum(m, s_cur)
+    alpha = jnp.exp(m - m_f)
+    p_cur = jnp.exp(s_cur - m_f)
+    s_l = s_l * alpha + p_cur
+    acc = acc * alpha + p_cur * v.astype(jnp.float32)[:, None, :]
+    attn = (acc / s_l).astype(jnp.bfloat16).reshape(1, NQ * D)
+
+    h = h + mv(attn, o_w_ref, o_s_ref)
+    xn = rms(h, pln_ref[0])
+    gu = mv(xn, gu_w_ref, gu_s_ref).astype(jnp.float32)
+    g, u = gu[:, :I], gu[:, I:]
+    gated = (g * jax.nn.sigmoid(g) * u).astype(jnp.bfloat16)
+    h = h + mv(gated, d_w_ref, d_s_ref)
+    h_scr[...] = h
+    h_out_ref[...] = h
+
+
+def _shapes(cfg) -> dict:
+    return dict(
+        H=cfg.hidden_size,
+        D=cfg.head_dim,
+        NQ=cfg.num_attention_heads,
+        NKV=cfg.num_key_value_heads,
+        I=max(cfg.layer_intermediate_size(i) for i in range(cfg.num_hidden_layers)),
+        L=cfg.num_hidden_layers,
+    )
+
+
+def step_supported(params, cfg) -> bool:
+    """Fused Int8Linear serving layout, 128-aligned dims, fits VMEM."""
+    from .quant import Int8Linear
+
+    layers = params["layers"]
+    if not all(
+        k in layers and isinstance(layers[k], Int8Linear)
+        for k in ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
+    ):
+        return False
+    s = _shapes(cfg)
+    if not (s["H"] % 128 == 0 and s["I"] % 128 == 0 and s["D"] == 128):
+        return False
+    # Pallas double-buffers every blocked input: 2x the per-layer int8
+    # weights must fit VMEM alongside the 4 KV stream buffers (v5e: 128 MB).
+    H, D, NQ, NKV, I = (s[k] for k in ("H", "D", "NQ", "NKV", "I"))
+    per_layer = H * (NQ + 2 * NKV) * D + NQ * D * H + H * 2 * I + I * H
+    kv_bufs = 4 * NKV * 512 * D * 2
+    return 2 * per_layer + kv_bufs < 112 * 2**20
+
+
+def talker_decode_step(
+    params,
+    cfg,
+    x,  # [1, 1, H] bf16 input embedding
+    k_cache, v_cache,  # [L, 1, Hkv, T, D] bf16 (rows 0..pos-1 valid)
+    pos,  # scalar int32
+    cos, sin,  # [1, 1, D] rope rows for position pos
+    *,
+    mode: str = "wo_bf16",
+    interpret: bool = False,
+):
+    """One fused decode step. Returns (h [1, 1, H] pre-final-norm,
+    k_new [L, Hkv, D], v_new [L, Hkv, D])."""
+    s = _shapes(cfg)
+    L, H, D, NKV, NQ, I = s["L"], s["H"], s["D"], s["NKV"], s["NQ"], s["I"]
+    T = k_cache.shape[3]
+    block_t = 512 if T % 512 == 0 else 128
+    assert T % block_t == 0, f"cache length {T} not a multiple of {block_t}"
+    layers = params["layers"]
+
+    def nrm(w):  # [L, C] -> [L, 1, C] f32
+        return w.astype(jnp.float32)[:, None, :]
+
+    blk = lambda shape: pl.BlockSpec(shape, lambda l, *_: (l,) + (0,) * (len(shape) - 1))
+    const = lambda shape: pl.BlockSpec(shape, lambda l, *_: (0,) * len(shape))
+    kernel = functools.partial(
+        _talker_step_kernel, s, mode, float(cfg.rms_norm_eps), block_t
+    )
+    qkv, o_p = layers["qkv_proj"], layers["o_proj"]
+    gu_p, d_p = layers["gate_up_proj"], layers["down_proj"]
+    h, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L,),
+            in_specs=[
+                blk((1, H, qkv.q.shape[-1])), blk((1, 1, qkv.q.shape[-1])),
+                blk((1, NQ * D, H)), blk((1, 1, H)),
+                blk((1, H, 2 * I)), blk((1, 1, 2 * I)),
+                blk((1, I, H)), blk((1, 1, H)),
+                blk((1, 1, H)), blk((1, 1, H)),
+                blk((1, 1, D)), blk((1, 1, D)),
+                const((1, D)), const((1, D)),
+                const((1, H)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                const((1, H)),
+                blk((1, NKV, D)),
+                blk((1, NKV, D)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((1, H), jnp.bfloat16),
+                pltpu.VMEM((2, NKV, block_t, D), jnp.bfloat16),
+                pltpu.VMEM((2, NKV, block_t, D), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, H), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, NKV, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, NKV, D), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 2**20,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(pos, jnp.int32)[None],
+        qkv.q, qkv.scale,
+        o_p.q, o_p.scale,
+        gu_p.q, gu_p.scale,
+        d_p.q, d_p.scale,
+        nrm(layers["input_layernorm"]),
+        nrm(layers["post_attention_layernorm"]),
+        nrm(layers["q_norm"]),
+        nrm(layers["k_norm"]),
+        cos[0].astype(jnp.float32),
+        sin[0].astype(jnp.float32),
+        x[:, 0].astype(jnp.bfloat16),
+        k_cache, v_cache,
+    )
+    return h[:, None], k_new, v_new

@@ -1,0 +1,115 @@
+"""Fused talker-step kernel vs the XLA scan-over-layers path.
+
+The kernel (ops/talker_kernel.py) runs all L layers of a single decode
+step as one Pallas grid program with double-buffered int8 weight
+streaming and prefix-streaming flash attention. Here we prefill a real
+cache through the XLA `forward`, then run ONE decode step through both
+paths and compare the hidden output and the new k/v rows.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3tts_tpu.config import TalkerConfig
+from qwen3tts_tpu.models import talker as tk
+from qwen3tts_tpu.ops.quant import quantize_decode_params_int8
+from qwen3tts_tpu.ops.rope import mrope_cos_sin
+from qwen3tts_tpu.ops.norms import rms_norm
+from qwen3tts_tpu.ops.talker_kernel import step_supported, talker_decode_step
+
+
+def _tiny_cfg(**kw):
+    return TalkerConfig(
+        vocab_size=512,
+        hidden_size=256,
+        text_hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=128,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _tiny_cfg()
+    params = tk.init_talker_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    params["layers"] = tk.fuse_layer_projections(params["layers"])
+    params = quantize_decode_params_int8(params, "codec_head")
+    return cfg, params
+
+
+def _run_both(cfg, params, pos, t_max, mode="wo_bf16"):
+    """Prefill `pos` tokens through the XLA path, then one decode step
+    through XLA and the kernel. Returns (h_xla, h_kernel, kv_xla, kv_kernel)."""
+    H = cfg.hidden_size
+    cache = tk.make_cache(cfg, 1, t_max, jnp.bfloat16)
+    prefill = (
+        jax.random.normal(jax.random.PRNGKey(3), (1, pos, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+    _, cache = tk.forward(params, cfg, prefill, cache, jnp.int32(0))
+
+    x = (
+        jax.random.normal(jax.random.PRNGKey(5), (1, 1, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+    offset = jnp.int32(pos)
+
+    h_xla, cache_xla = tk.forward(params, cfg, x, cache, offset)
+
+    positions = jnp.full((1, 1), pos, jnp.int32)
+    cos, sin = mrope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta, cfg.mrope_section, jnp.bfloat16
+    )
+    h_k, k_new, v_new = talker_decode_step(
+        params, cfg, x, cache.k, cache.v, offset, cos, sin,
+        mode=mode, interpret=True,
+    )
+    h_k = rms_norm(h_k, params["norm"], cfg.rms_norm_eps)
+
+    kv_xla = (
+        np.asarray(cache_xla.k[:, 0, :, pos, :], np.float32),
+        np.asarray(cache_xla.v[:, 0, :, pos, :], np.float32),
+    )
+    kv_k = (np.asarray(k_new, np.float32), np.asarray(v_new, np.float32))
+    return (
+        np.asarray(h_xla, np.float32),
+        np.asarray(h_k, np.float32),
+        kv_xla,
+        kv_k,
+    )
+
+
+def test_step_supported(setup):
+    cfg, params = setup
+    assert step_supported(params, cfg)
+    dense = tk.init_talker_params(jax.random.PRNGKey(1), cfg, jnp.bfloat16)
+    assert not step_supported(dense, cfg)  # unfused, non-int8
+
+
+# pos values cover: mid-first-block, exact block boundary, multi-block
+@pytest.mark.parametrize("pos,t_max", [(37, 256), (128, 256), (130, 384)])
+def test_decode_step_parity(setup, pos, t_max):
+    cfg, params = setup
+    h_xla, h_k, kv_xla, kv_k = _run_both(cfg, params, pos, t_max)
+    scale = np.abs(h_xla).mean() + 1e-6
+    rel = np.abs(h_k - h_xla).max() / scale
+    assert rel < 0.15, f"hidden mismatch: scaled {rel:.4f} (pos={pos})"
+    for a, b, name in (*zip(kv_xla, kv_k, ("k", "v")),):
+        s = np.abs(a).mean() + 1e-6
+        d = np.abs(a - b).max() / s
+        assert d < 0.1, f"{name} row mismatch: scaled {d:.4f} (pos={pos})"
+
+
+def test_decode_step_parity_dyn_int8(setup):
+    cfg, params = setup
+    h_xla, h_k, _, _ = _run_both(cfg, params, 37, 256, mode="dyn_int8")
+    scale = np.abs(h_xla).mean() + 1e-6
+    rel = np.abs(h_k - h_xla).max() / scale
+    # activation quant adds ~int8 rounding noise per matvec
+    assert rel < 0.6, f"hidden mismatch: scaled {rel:.4f}"
