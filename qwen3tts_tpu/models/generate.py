@@ -101,6 +101,35 @@ def _cpk_mode() -> str:
     return os.environ.get("QWEN3TTS_CPK_MODE", "wo_bf16")
 
 
+def _use_talker_sample_kernel(talker_params, talker_cfg, sampling) -> bool:
+    """Trace-time gate for the whole-step talker kernel WITH fused codec-head
+    sampling (ops/talker_kernel.py, sample mode). Same sampling subset as the
+    CP kernel (top_p disabled, standard semantics)."""
+    import os
+
+    if os.environ.get("QWEN3TTS_NO_TALKER_KERNEL"):
+        return False
+    if sampling.top_p < 1.0 or sampling.ref_exact_top_p:
+        return False
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        return False
+    from ..ops.quant import Int8Linear
+    from ..ops.talker_kernel import step_supported
+
+    if not isinstance(talker_params.get("codec_head"), Int8Linear):
+        return False
+    return step_supported(talker_params, talker_cfg)
+
+
+def _seed_words(key) -> jnp.ndarray:
+    """[2] int32 seed words for the TPU core PRNG from a JAX PRNG key."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(key).reshape(-1)
+    else:
+        kd = key.reshape(-1)
+    return jnp.stack([kd[0], kd[-1]]).astype(jnp.int32)
+
+
 def _frame(
     talker_params,
     cp_params,
@@ -109,9 +138,11 @@ def _frame(
     sampling: SamplingConfig,
     suppress_mask,
     hidden_last,  # [B, h] talker hidden at the sampled position
-    logits_last,  # [B, vocab] float32
+    logits_last,  # [B, vocab] float32 (None when ``code0`` is precomputed)
     seen,  # [vocab] bool
     key,
+    code0=None,  # [B] int32: already sampled in-kernel (fused talker step)
+    k_cp=None,  # CP sampling key, required with ``code0``
 ):
     """Sample codebook 0 + run the code predictor for one frame.
 
@@ -121,27 +152,30 @@ def _frame(
     as a byproduct, else None (the caller gathers it the XLA way).
     B must be 1: ``seen``/``is_eos`` bookkeeping reads index 0 only (the
     batched path lives in batch_generate.py with per-sequence state).
+    When ``code0`` is given (sampled inside the fused talker kernel), the
+    caller has already split ``key`` and passes the CP subkey as ``k_cp``.
     """
     assert hidden_last.shape[0] == 1, (
         f"_frame is single-sequence (B=1), got B={hidden_last.shape[0]}; "
         "use models/batch_generate.py for batched decoding"
     )
-    key, k_tok, k_cp = jax.random.split(key, 3)
     eos_id = talker_cfg.codec_eos_token_id
-    if sampling.forbid_eos:
-        suppress_mask = suppress_mask.at[eos_id].set(True)
-    code0 = sample_token_inner(
-        k_tok,
-        logits_last,
-        temperature=sampling.temperature,
-        top_k=sampling.top_k,
-        top_p=sampling.top_p,
-        repetition_penalty=sampling.repetition_penalty,
-        seen=seen,
-        suppress_mask=suppress_mask,
-        eos_token_id=None if sampling.forbid_eos else eos_id,
-        ref_exact_top_p=sampling.ref_exact_top_p,
-    )  # [B]
+    if code0 is None:
+        key, k_tok, k_cp = jax.random.split(key, 3)
+        if sampling.forbid_eos:
+            suppress_mask = suppress_mask.at[eos_id].set(True)
+        code0 = sample_token_inner(
+            k_tok,
+            logits_last,
+            temperature=sampling.temperature,
+            top_k=sampling.top_k,
+            top_p=sampling.top_p,
+            repetition_penalty=sampling.repetition_penalty,
+            seen=seen,
+            suppress_mask=suppress_mask,
+            eos_token_id=None if sampling.forbid_eos else eos_id,
+            ref_exact_top_p=sampling.ref_exact_top_p,
+        )  # [B]
     seen = seen.at[code0[0]].set(True)
     is_eos = code0[0] == eos_id
 
@@ -301,19 +335,47 @@ def generate_chunk(
     )
     max_frames = carry.codes.shape[0]
     limit = jnp.minimum(until_step, jnp.int32(max_frames))
+    eos_id = talker_cfg.codec_eos_token_id
+    use_tks = (
+        _use_talker_sample_kernel(talker_params, talker_cfg, sampling)
+        and carry.cache.k.shape[3] % 128 == 0
+    )
+    if use_tks:
+        supp = suppress_mask
+        if sampling.forbid_eos:
+            supp = supp.at[eos_id].set(True)
+        suppress_add = jnp.where(supp, jnp.float32(-1e30), jnp.float32(0.0))
 
     def cond(c: GenCarry):
         return jnp.logical_and(~c.eos, c.step < limit)
 
     def body(c: GenCarry) -> GenCarry:
-        hidden, cache = tk.forward(
-            talker_params, talker_cfg, c.cur_input, c.cache, c.offset
-        )
-        logits_last = tk.codec_logits(talker_params, hidden)[:, 0]
-        code0, rest, is_eos, seen, key, codec_sum = _frame(
-            talker_params, cp_params, talker_cfg, cp_cfg, sampling, suppress_mask,
-            hidden[:, 0], logits_last, c.seen, c.key,
-        )
+        if use_tks:
+            # whole talker step + final norm + codec head + code0 sampler as
+            # one Pallas program (ops/talker_kernel.py sample mode)
+            key, k_tok, k_cp = jax.random.split(c.key, 3)
+            hidden_last, cache, code0 = tk.forward_step_sample(
+                talker_params, talker_cfg, c.cur_input, c.cache, c.offset,
+                seen=c.seen, suppress_add=suppress_add,
+                seed=_seed_words(k_tok),
+                temperature=sampling.temperature, top_k=sampling.top_k,
+                repetition_penalty=sampling.repetition_penalty,
+                eos_token_id=None if sampling.forbid_eos else eos_id,
+            )
+            code0, rest, is_eos, seen, key, codec_sum = _frame(
+                talker_params, cp_params, talker_cfg, cp_cfg, sampling,
+                suppress_mask, hidden_last[:, 0], None, c.seen, key,
+                code0=code0, k_cp=k_cp,
+            )
+        else:
+            hidden, cache = tk.forward(
+                talker_params, talker_cfg, c.cur_input, c.cache, c.offset
+            )
+            logits_last = tk.codec_logits(talker_params, hidden)[:, 0]
+            code0, rest, is_eos, seen, key, codec_sum = _frame(
+                talker_params, cp_params, talker_cfg, cp_cfg, sampling,
+                suppress_mask, hidden[:, 0], logits_last, c.seen, c.key,
+            )
         codes, tokens = _record(c.codes, c.tokens, c.step, code0, rest, is_eos)
         return GenCarry(
             step=c.step + jnp.where(is_eos, 0, 1),

@@ -378,6 +378,54 @@ def forward(
     return h, KVCache(new_k, new_v)
 
 
+def forward_step_sample(
+    params: Params,
+    cfg: TalkerConfig,
+    inputs_embeds: jnp.ndarray,  # [1, 1, h]
+    cache: KVCache,
+    offset: jnp.ndarray,  # scalar int32
+    *,
+    seen: jnp.ndarray,  # [vocab] bool
+    suppress_add: jnp.ndarray,  # [vocab] f32 additive mask (-1e30 suppressed)
+    seed: jnp.ndarray,  # [2] int32 PRNG seed words
+    temperature: float,
+    top_k: int,
+    repetition_penalty: float,
+    eos_token_id: int | None,
+):
+    """Decode step + codec head + code0 sampler as ONE Pallas program.
+
+    Only valid when ``forward`` would take the fused-kernel path (caller
+    gates on ``ops.talker_kernel.step_supported``). Returns
+    (hidden [1, 1, h] post-final-norm, new_cache, code0 [1] int32)."""
+    from ..ops.talker_kernel import talker_decode_step
+
+    positions = jnp.broadcast_to(offset[None, None], (1, 1)).astype(jnp.int32)
+    cos, sin = mrope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta, cfg.mrope_section,
+        inputs_embeds.dtype,
+    )
+    h, k_new, v_new, code0 = talker_decode_step(
+        params, cfg, inputs_embeds, cache.k, cache.v, offset, cos, sin,
+        sample=dict(
+            temperature=float(temperature),
+            top_k=int(top_k),
+            rep_penalty=float(repetition_penalty),
+            eos_id=-1 if eos_token_id is None else int(eos_token_id),
+        ),
+        seed=seed,
+        suppress_add=suppress_add[None],
+        seen=seen[None],
+    )
+    k_all = jax.lax.dynamic_update_slice(
+        cache.k, k_new[:, None, :, None, :], (0, 0, 0, offset, 0)
+    )
+    v_all = jax.lax.dynamic_update_slice(
+        cache.v, v_new[:, None, :, None, :], (0, 0, 0, offset, 0)
+    )
+    return h, KVCache(k_all, v_all), code0
+
+
 def forward_batched_step(
     params: Params,
     cfg: TalkerConfig,

@@ -47,27 +47,55 @@ def _talker_step_kernel(
     mode: str,
     eps: float,
     block_t: int,
-    # scalar prefetch
-    pos_ref,  # SMEM [1] int32: tokens already in cache (current goes to slot pos)
-    # blocked per-layer inputs (leading dim 1 = this grid step's layer)
-    qkv_w_ref, qkv_s_ref,  # [1, H, NQD+2KVD] int8, [1, 1, ...] f32
-    o_w_ref, o_s_ref,  # [1, NQD, H]
-    gu_w_ref, gu_s_ref,  # [1, H, 2I]
-    d_w_ref, d_s_ref,  # [1, I, H]
-    iln_ref, pln_ref,  # [1, 1, H] f32
-    qn_ref, kn_ref,  # [1, 1, D] f32
-    # unblocked inputs
-    cos_ref, sin_ref,  # [1, D] f32 (position pos)
-    x_ref,  # [1, H] bf16 input embedding
-    k_hbm, v_hbm,  # ANY [L, 1, Hkv, T, D] bf16 cache (rows 0..pos-1 valid)
-    # outputs
-    h_out_ref,  # [1, H] bf16 hidden after all layers (pre final-norm)
-    k_out_ref, v_out_ref,  # blocked [1, Hkv, D] bf16 per layer
-    # scratch
-    h_scr,  # VMEM [1, H] bf16 residual stream
-    kbuf, vbuf,  # VMEM [2, Hkv, block_t, D] bf16
-    sems,  # DMA (2, 2)
+    sample: dict | None,  # static: temperature/top_k/rep_penalty/eos_id
+    *refs,
 ):
+    """Kernel body. ``refs`` layout (sampling refs only present when
+    ``sample`` is not None):
+
+      scalar prefetch:
+        pos_ref  SMEM [3] int32: [tokens in cache, seed0, seed1]
+      blocked per-layer inputs (leading dim 1 = this grid step's layer):
+        qkv_w, qkv_s   [1, H, NQD+2KVD] int8 / [1, 1, ...] f32
+        o_w, o_s       [1, NQD, H]
+        gu_w, gu_s     [1, H, 2I]
+        d_w, d_s       [1, I, H]
+        iln, pln       [1, 1, H] f32
+        qn, kn         [1, 1, D] f32
+      unblocked inputs:
+        cos, sin       [1, D] f32 (position pos)
+        x              [1, H] bf16 input embedding
+        [head_w        [H, V] int8      — sampling only]
+        [head_s        [1, V] f32       — sampling only]
+        [fnorm         [1, H] f32       — sampling only]
+        [supp          [1, V] f32 additive mask — sampling only]
+        [seen          [1, V] f32 1.0=seen — sampling only]
+        k_hbm, v_hbm   ANY [L, 1, Hkv, T, D] bf16 (rows 0..pos-1 valid)
+      outputs:
+        h_out          [1, H] bf16 (pre final-norm; post-norm when sampling)
+        k_out, v_out   blocked [1, Hkv, D] bf16 per layer
+        [code_out      [1, 128] int32, lane 0 = sampled code — sampling only]
+      scratch:
+        h_scr VMEM [1, H] bf16, kbuf/vbuf VMEM [2, Hkv, block_t, D] bf16,
+        sems DMA (2, 2)
+    """
+    if sample is not None:
+        (pos_ref,
+         qkv_w_ref, qkv_s_ref, o_w_ref, o_s_ref, gu_w_ref, gu_s_ref,
+         d_w_ref, d_s_ref, iln_ref, pln_ref, qn_ref, kn_ref,
+         cos_ref, sin_ref, x_ref,
+         head_w_ref, head_s_ref, fnorm_ref, supp_ref, seen_ref,
+         k_hbm, v_hbm,
+         h_out_ref, k_out_ref, v_out_ref, code_out_ref,
+         h_scr, kbuf, vbuf, sems) = refs
+    else:
+        (pos_ref,
+         qkv_w_ref, qkv_s_ref, o_w_ref, o_s_ref, gu_w_ref, gu_s_ref,
+         d_w_ref, d_s_ref, iln_ref, pln_ref, qn_ref, kn_ref,
+         cos_ref, sin_ref, x_ref,
+         k_hbm, v_hbm,
+         h_out_ref, k_out_ref, v_out_ref,
+         h_scr, kbuf, vbuf, sems) = refs
     H, D, NQ, NKV, I = (shapes[k] for k in ("H", "D", "NQ", "NKV", "I"))
     G = NQ // NKV
     scale = D**-0.5
@@ -203,6 +231,88 @@ def _talker_step_kernel(
     h_scr[...] = h
     h_out_ref[...] = h
 
+    if sample is not None:
+        # --- final norm + codec head + sampler, fused into the last layer's
+        # grid step (semantics: ops/sampling.py::sample_token_inner with
+        # top_p == 1; the PRNG stream is the TPU core PRNG, like the CP
+        # kernel's — documented divergence from jax.random.categorical) ---
+        L = shapes["L"]
+        V = head_s_ref.shape[-1]
+        temperature = sample["temperature"]
+        top_k = sample["top_k"]
+        rep_penalty = sample["rep_penalty"]
+        eos_id = sample["eos_id"]  # -1: EOS does not bypass top-k
+
+        @pl.when(l == L - 1)
+        def _():
+            hn = rms(h, fnorm_ref[...])
+            if mode == "dyn_int8":
+                xf = hn.astype(jnp.float32)
+                amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+                s_a = jnp.maximum(amax * (1.0 / 127.0), 1e-12)
+                xq = jnp.round(xf / s_a).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    xq, head_w_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                logits = acc.astype(jnp.float32) * (s_a * head_s_ref[...])
+            else:
+                logits = jax.lax.dot_general(
+                    hn, head_w_ref[...].astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * head_s_ref[...]
+            logits = logits + supp_ref[...]  # -1e30 on suppressed ids
+            if rep_penalty != 1.0:
+                pen = jnp.where(
+                    logits < 0, logits * rep_penalty, logits * (1.0 / rep_penalty)
+                )
+                logits = jnp.where(seen_ref[...] > 0, pen, logits)
+
+            lane_v = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+            if temperature <= 0:
+                z = logits
+            else:
+                z = logits
+                if eos_id >= 0:
+                    eos_logit = jnp.sum(
+                        jnp.where(lane_v == eos_id, z, 0.0), axis=-1, keepdims=True
+                    )
+                if 0 < top_k < V:
+                    # seed the bisection from the SMALLEST UNSUPPRESSED
+                    # logit: including the -1e30 masked entries would leave
+                    # the interval ~1e22 wide after 24 halvings and the
+                    # threshold below every real logit (filter = no-op)
+                    hi0 = jnp.max(z, axis=-1, keepdims=True)
+                    lo0 = jnp.min(
+                        jnp.where(z > -1e29, z, hi0), axis=-1, keepdims=True
+                    )
+
+                    def bs(_, lh):
+                        lo, hi = lh
+                        mid = 0.5 * (lo + hi)
+                        cnt = jnp.sum(
+                            (z >= mid).astype(jnp.float32), axis=-1, keepdims=True
+                        )
+                        ge = cnt >= top_k
+                        return jnp.where(ge, mid, lo), jnp.where(ge, hi, mid)
+
+                    lo, _ = jax.lax.fori_loop(0, 24, bs, (lo0, hi0))
+                    z = jnp.where(z >= lo, z, NEG_INF)
+                if eos_id >= 0:
+                    z = jnp.where(lane_v == eos_id, eos_logit, z)
+                pltpu.prng_seed(pos_ref[1], pos_ref[2])
+                bits = pltpu.prng_random_bits((1, V))
+                b24 = pltpu.bitcast(bits, jnp.int32) & jnp.int32(0xFFFFFF)
+                u_ = b24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+                z = z * (1.0 / temperature) + (-jnp.log(-jnp.log(u_)))
+            m_z = jnp.max(z, axis=-1, keepdims=True)
+            code = jnp.min(
+                jnp.where(z == m_z, lane_v, V), axis=-1, keepdims=True
+            )
+            code_out_ref[...] = jnp.broadcast_to(code, (1, 128))
+            h_out_ref[...] = hn  # post-norm hidden (CP consumes this)
+
 
 def _shapes(cfg) -> dict:
     return dict(
@@ -246,9 +356,19 @@ def talker_decode_step(
     *,
     mode: str = "wo_bf16",
     interpret: bool = False,
+    sample: dict | None = None,
+    seed=None,  # [2] int32 (sampling only)
+    suppress_add=None,  # [1, V] f32 additive mask (sampling only)
+    seen=None,  # [1, V] f32, 1.0 = seen (sampling only)
 ):
-    """One fused decode step. Returns (h [1, 1, H] pre-final-norm,
-    k_new [L, Hkv, D], v_new [L, Hkv, D])."""
+    """One fused decode step.
+
+    Without ``sample``: returns (h [1, 1, H] pre-final-norm, k_new
+    [L, Hkv, D], v_new [L, Hkv, D]).
+    With ``sample`` (dict: temperature/top_k/rep_penalty/eos_id): also runs
+    final-norm + codec head + the code0 sampler in-kernel and returns
+    (h [1, 1, H] POST-norm, k_new, v_new, code0 [1] int32).
+    """
     s = _shapes(cfg)
     L, H, D, NKV, NQ, I = s["L"], s["H"], s["D"], s["NKV"], s["NQ"], s["I"]
     T = k_cache.shape[3]
@@ -262,51 +382,22 @@ def talker_decode_step(
     blk = lambda shape: pl.BlockSpec(shape, lambda l, *_: (l,) + (0,) * (len(shape) - 1))
     const = lambda shape: pl.BlockSpec(shape, lambda l, *_: (0,) * len(shape))
     kernel = functools.partial(
-        _talker_step_kernel, s, mode, float(cfg.rms_norm_eps), block_t
+        _talker_step_kernel, s, mode, float(cfg.rms_norm_eps), block_t, sample
     )
     qkv, o_p = layers["qkv_proj"], layers["o_proj"]
     gu_p, d_p = layers["gate_up_proj"], layers["down_proj"]
-    h, k_new, v_new = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(L,),
-            in_specs=[
-                blk((1, H, qkv.q.shape[-1])), blk((1, 1, qkv.q.shape[-1])),
-                blk((1, NQ * D, H)), blk((1, 1, H)),
-                blk((1, H, 2 * I)), blk((1, 1, 2 * I)),
-                blk((1, I, H)), blk((1, 1, H)),
-                blk((1, 1, H)), blk((1, 1, H)),
-                blk((1, 1, D)), blk((1, 1, D)),
-                const((1, D)), const((1, D)),
-                const((1, H)),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=[
-                const((1, H)),
-                blk((1, NKV, D)),
-                blk((1, NKV, D)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((1, H), jnp.bfloat16),
-                pltpu.VMEM((2, NKV, block_t, D), jnp.bfloat16),
-                pltpu.VMEM((2, NKV, block_t, D), jnp.bfloat16),
-                pltpu.SemaphoreType.DMA((2, 2)),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((1, H), jnp.bfloat16),
-            jax.ShapeDtypeStruct((L, NKV, D), jnp.bfloat16),
-            jax.ShapeDtypeStruct((L, NKV, D), jnp.bfloat16),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=120 * 2**20,
-        ),
-        interpret=interpret,
-    )(
-        jnp.asarray(pos, jnp.int32)[None],
+
+    in_specs = [
+        blk((1, H, qkv.q.shape[-1])), blk((1, 1, qkv.q.shape[-1])),
+        blk((1, NQ * D, H)), blk((1, 1, H)),
+        blk((1, H, 2 * I)), blk((1, 1, 2 * I)),
+        blk((1, I, H)), blk((1, 1, H)),
+        blk((1, 1, H)), blk((1, 1, H)),
+        blk((1, 1, D)), blk((1, 1, D)),
+        const((1, D)), const((1, D)),
+        const((1, H)),
+    ]
+    operands = [
         qkv.q, qkv.scale,
         o_p.q, o_p.scale,
         gu_p.q, gu_p.scale,
@@ -318,6 +409,61 @@ def talker_decode_step(
         cos[0].astype(jnp.float32),
         sin[0].astype(jnp.float32),
         x[:, 0].astype(jnp.bfloat16),
-        k_cache, v_cache,
-    )
+    ]
+    out_specs = [const((1, H)), blk((1, NKV, D)), blk((1, NKV, D))]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, H), jnp.bfloat16),
+        jax.ShapeDtypeStruct((L, NKV, D), jnp.bfloat16),
+        jax.ShapeDtypeStruct((L, NKV, D), jnp.bfloat16),
+    ]
+    scalars = [jnp.asarray(pos, jnp.int32)[None]]
+    if sample is not None:
+        head = params["codec_head"]
+        V = head.q.shape[-1]
+        in_specs += [
+            const((H, V)), const((1, V)), const((1, H)),
+            const((1, V)), const((1, V)),
+        ]
+        operands += [
+            head.q, head.scale.reshape(1, V).astype(jnp.float32),
+            params["norm"].astype(jnp.float32)[None],
+            suppress_add.astype(jnp.float32),
+            seen.astype(jnp.float32),
+        ]
+        out_specs.append(const((1, 128)))
+        out_shape.append(jax.ShapeDtypeStruct((1, 128), jnp.int32))
+        scalars = [
+            jnp.concatenate(
+                [jnp.asarray(pos, jnp.int32)[None], seed.astype(jnp.int32)]
+            )
+        ]
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L,),
+            in_specs=in_specs + [
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((1, H), jnp.bfloat16),
+                pltpu.VMEM((2, NKV, block_t, D), jnp.bfloat16),
+                pltpu.VMEM((2, NKV, block_t, D), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 2**20,
+        ),
+        interpret=interpret,
+    )(*scalars, *operands, k_cache, v_cache)
+    if sample is not None:
+        h, k_new, v_new, code = out
+        return h[:, None], k_new, v_new, code[:, 0]
+    h, k_new, v_new = out
     return h[:, None], k_new, v_new

@@ -113,3 +113,90 @@ def test_decode_step_parity_dyn_int8(setup):
     rel = np.abs(h_k - h_xla).max() / scale
     # activation quant adds ~int8 rounding noise per matvec
     assert rel < 0.6, f"hidden mismatch: scaled {rel:.4f}"
+
+
+def _run_sample_mode(cfg, params, pos, t_max, temperature, seen_ids=(),
+                     suppress_ids=(), rep=1.0, eos_id=-1, seed=(7, 13)):
+    """One decode step in kernel sample mode; returns (h_k, code0, cache, x)."""
+    H = cfg.hidden_size
+    cache = tk.make_cache(cfg, 1, t_max, jnp.bfloat16)
+    prefill = (
+        jax.random.normal(jax.random.PRNGKey(3), (1, pos, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+    _, cache = tk.forward(params, cfg, prefill, cache, jnp.int32(0))
+    x = (
+        jax.random.normal(jax.random.PRNGKey(5), (1, 1, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+
+    V = params["codec_head"].q.shape[-1]
+    seen = jnp.zeros((V,), bool)
+    for i in seen_ids:
+        seen = seen.at[i].set(True)
+    supp = jnp.zeros((V,), bool)
+    for i in suppress_ids:
+        supp = supp.at[i].set(True)
+    suppress_add = jnp.where(supp, jnp.float32(-1e30), jnp.float32(0.0))
+
+    positions = jnp.full((1, 1), pos, jnp.int32)
+    cos, sin = mrope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta, cfg.mrope_section, jnp.bfloat16
+    )
+    h_k, k_new, v_new, code0 = talker_decode_step(
+        params, cfg, x, cache.k, cache.v, jnp.int32(pos), cos, sin,
+        interpret=True,
+        sample=dict(temperature=temperature, top_k=8, rep_penalty=rep,
+                    eos_id=eos_id),
+        seed=jnp.asarray(seed, jnp.int32),
+        suppress_add=suppress_add[None],
+        seen=seen[None].astype(jnp.float32),
+    )
+    return h_k, code0, cache, x, seen, supp
+
+
+def test_sample_mode_greedy_matches_xla(setup):
+    """Greedy in-kernel head+sampler == XLA codec_logits + argmax, and the
+    returned hidden is the POST-norm hidden."""
+    cfg, params = setup
+    seen_ids = (3, 100)
+    h_k, code0, cache, x, seen, _ = _run_sample_mode(
+        cfg, params, 37, 256, temperature=0.0, seen_ids=seen_ids, rep=1.05
+    )
+    # XLA reference
+    h_xla, _ = tk.forward(params, cfg, x, cache, jnp.int32(37))
+    logits = tk.codec_logits(params, h_xla)[:, 0]
+    from qwen3tts_tpu.ops.sampling import sample_token_inner
+
+    ref = sample_token_inner(
+        jax.random.PRNGKey(0), logits, temperature=0.0, top_k=8, top_p=1.0,
+        repetition_penalty=1.05, seen=seen,
+    )
+    hx = np.asarray(h_xla[:, 0], np.float32)
+    hk = np.asarray(h_k[:, 0], np.float32)
+    rel = np.abs(hk - hx).max() / (np.abs(hx).mean() + 1e-6)
+    assert rel < 0.15, f"post-norm hidden mismatch: {rel:.4f}"
+    # greedy pick must match unless the top-2 XLA gap is inside bf16 noise
+    lx = np.asarray(logits[0], np.float32)
+    top2 = np.sort(lx)[-2:]
+    if (top2[1] - top2[0]) / (np.std(lx) + 1e-6) > 0.05:
+        assert int(code0[0]) == int(ref[0])
+
+
+def test_sample_mode_respects_suppress_and_seed(setup):
+    cfg, params = setup
+    V = params["codec_head"].q.shape[-1]
+    # suppress all but 16 ids: the sample must land in the allowed set
+    allowed = list(range(32, 48))
+    supp_ids = [i for i in range(V) if i not in allowed]
+    try:
+        _, c1, *_ = _run_sample_mode(
+            cfg, params, 37, 256, temperature=0.9, suppress_ids=supp_ids,
+            seed=(7, 13),
+        )
+        _, c2, *_ = _run_sample_mode(
+            cfg, params, 37, 256, temperature=0.9, suppress_ids=supp_ids,
+            seed=(99, 1234),
+        )
+    except Exception as e:  # pragma: no cover - interpret-mode PRNG support
+        pytest.skip(f"interpret-mode PRNG unsupported here: {e}")
+    assert int(c1[0]) in allowed
+    assert int(c2[0]) in allowed
