@@ -71,13 +71,16 @@ def main() -> None:
     if QUANT == "int8":
         from qwen3tts_tpu.ops.quant import quantize_decode_params_int8
 
-        # mirror from_pretrained(quantize='int8'): fuse the talker (measured
-        # faster under int8), keep the CP unfused (measured slower)
+        # mirror from_pretrained(quantize='int8'): fuse talker AND CP
+        # projections (both run in the fused Pallas kernels under int8)
         talker_params = dict(talker_params)
         talker_params["layers"] = tk.fuse_layer_projections(talker_params["layers"])
         talker_params = quantize_decode_params_int8(talker_params, "codec_head")
+        if os.environ.get("BENCH_CP_FUSE", "1") == "1":
+            cp_params = dict(cp_params)
+            cp_params["layers"] = tk.fuse_layer_projections(cp_params["layers"])
         cp_params = quantize_decode_params_int8(cp_params, "lm_head")
-        log("runtime int8 weight-only quantization (fused talker projections)")
+        log("runtime int8 weight-only quantization (fused projections)")
     voc_params = vc.init_vocoder_params(jax.random.PRNGKey(2), vcfg, jnp.float32)
     jax.block_until_ready(talker_params["layers"]["input_layernorm"])
     log(f"param init: {time.time() - t0:.1f}s")

@@ -61,39 +61,48 @@ def _cp_kernel(
     temperature: float,
     top_k: int,
     eps: float,
-    # scalar prefetch
-    seed_ref,  # SMEM [2] int32 PRNG seed words
-    # VMEM inputs
-    x0_ref,  # [2, H] bf16: [projected last_hidden, embed(code0)]
-    cos_ref,  # [SLOTS, D] f32
-    sin_ref,
-    wq_ref, sq_ref,  # [L, H, NQ*D] int8, [L, 1, NQ*D] f32
-    wk_ref, sk_ref,  # [L, H, NKV*D]
-    wv_ref, sv_ref,
-    wo_ref, so_ref,  # [L, NQ*D, H]
-    wg_ref, sg_ref,  # [L, H, I]
-    wu_ref, su_ref,
-    wd_ref, sd_ref,  # [L, I, H]
-    iln_ref,  # [L, 1, H] f32 norm weights
-    pln_ref,
-    qn_ref,  # [L, 1, D]
-    kn_ref,
-    fn_ref,  # [1, H]
-    lms_ref,  # [16, V] f32 lm_head scales (row j = head j; row 15 unused)
-    # HBM inputs
-    lmh_hbm,  # [NCB, H, V] int8
-    emb_hbm,  # [NCB, V, H] bf16
-    # outputs
-    codes_ref,  # VMEM [1, 128] int32 (lanes 0..14 = codes)
-    esum_ref,  # VMEM [1, H] f32: sum of the 15 sampled embedding rows
-    logits_ref,  # VMEM [16, V] f32 (row j = head j logits; row 15 unused)
-    # scratch
-    kf_ref,  # VMEM [L, NKV*SLOTS, D] bf16 (row h*SLOTS+t)
-    vf_ref,
-    hbuf_ref,  # VMEM [3, H, V] int8 lm_head slices
-    ebuf_ref,  # VMEM [3, V, H] bf16 embedding tables
-    hsem, esem,  # DMA semaphores (3,) each
+    fused: bool,  # layers carry qkv_proj/gate_up_proj instead of q/k/v, g/u
+    # positional refs — layout depends on ``fused``; see unpacking below
+    *refs,
 ):
+    """Ref layout:
+      scalar prefetch:
+        seed_ref   SMEM [2] int32 PRNG seed words
+      VMEM inputs:
+        x0         [2, H] bf16: [projected last_hidden, embed(code0)]
+        cos, sin   [SLOTS, D] f32
+        unfused: wq/sq [L,H,NQ*D], wk/sk wv/sv [L,H,NKV*D]
+        fused:   wqkv/sqkv [L, H, (NQ+2NKV)*D]
+        wo/so      [L, NQ*D, H]
+        unfused: wg/sg wu/su [L,H,I];  fused: wgu/sgu [L, H, 2I]
+        wd/sd      [L, I, H]
+        iln, pln   [L, 1, H] f32;  qn, kn [L, 1, D];  fn [1, H]
+        lms        [16, V] f32 lm_head scales (row j = head j; row 15 unused)
+      HBM inputs:
+        lmh_hbm    [NCB, H, V] int8;  emb_hbm [NCB, V, H] bf16
+      outputs:
+        codes      VMEM [1, 128] int32 (lanes 0..14 = codes)
+        esum       VMEM [1, H] f32;  logits VMEM [16, V] f32
+      scratch:
+        kf/vf      VMEM [L, NKV*SLOTS, D] bf16 (row h*SLOTS+t)
+        hbuf       VMEM [3, H, V] int8;  ebuf VMEM [3, V, H] bf16
+        hsem, esem DMA semaphores (3,) each
+    """
+    if fused:
+        (seed_ref, x0_ref, cos_ref, sin_ref,
+         wqkv_ref, sqkv_ref, wo_ref, so_ref, wgu_ref, sgu_ref, wd_ref, sd_ref,
+         iln_ref, pln_ref, qn_ref, kn_ref, fn_ref, lms_ref,
+         lmh_hbm, emb_hbm,
+         codes_ref, esum_ref, logits_ref,
+         kf_ref, vf_ref, hbuf_ref, ebuf_ref, hsem, esem) = refs
+    else:
+        (seed_ref, x0_ref, cos_ref, sin_ref,
+         wq_ref, sq_ref, wk_ref, sk_ref, wv_ref, sv_ref, wo_ref, so_ref,
+         wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
+         iln_ref, pln_ref, qn_ref, kn_ref, fn_ref, lms_ref,
+         lmh_hbm, emb_hbm,
+         codes_ref, esum_ref, logits_ref,
+         kf_ref, vf_ref, hbuf_ref, ebuf_ref, hsem, esem) = refs
     H, D, NQ, NKV, I, V, L, NCB, SLOTS = (
         shapes[k] for k in ("H", "D", "NQ", "NKV", "I", "V", "L", "NCB", "SLOTS")
     )
@@ -165,9 +174,15 @@ def _cp_kernel(
         h = x
         for l in range(L):
             xn = rms(h, iln_ref[l])
-            q = mv(xn, wq_ref, l, sq_ref).reshape(NQ, D)
-            k = mv(xn, wk_ref, l, sk_ref).reshape(NKV, D)
-            v = mv(xn, wv_ref, l, sv_ref).reshape(NKV, D)
+            if fused:
+                qkv = mv(xn, wqkv_ref, l, sqkv_ref)  # [1, (NQ+2NKV)*D]
+                q = qkv[:, : NQ * D].reshape(NQ, D)
+                k = qkv[:, NQ * D : (NQ + NKV) * D].reshape(NKV, D)
+                v = qkv[:, (NQ + NKV) * D :].reshape(NKV, D)
+            else:
+                q = mv(xn, wq_ref, l, sq_ref).reshape(NQ, D)
+                k = mv(xn, wk_ref, l, sk_ref).reshape(NKV, D)
+                v = mv(xn, wv_ref, l, sv_ref).reshape(NKV, D)
             q = rms(q, qn_ref[l])
             k = rms(k, kn_ref[l])
             q = rope(q, cos_row, sin_row)
@@ -202,8 +217,12 @@ def _cp_kernel(
 
             h = h + mv(attn.reshape(1, NQ * D), wo_ref, l, so_ref)
             xn = rms(h, pln_ref[l])
-            gate = mv(xn, wg_ref, l, sg_ref).astype(jnp.float32)
-            up = mv(xn, wu_ref, l, su_ref).astype(jnp.float32)
+            if fused:
+                gu = mv(xn, wgu_ref, l, sgu_ref).astype(jnp.float32)
+                gate, up = gu[:, :I], gu[:, I:]
+            else:
+                gate = mv(xn, wg_ref, l, sg_ref).astype(jnp.float32)
+                up = mv(xn, wu_ref, l, su_ref).astype(jnp.float32)
             gated = (gate * jax.nn.sigmoid(gate) * up).astype(jnp.bfloat16)
             h = h + mv(gated, wd_ref, l, sd_ref)
         return h
@@ -335,7 +354,13 @@ def kernel_supported(cp_params, cp_cfg, talker_h: int) -> bool:
     if "small_to_mtp_projection" in cp_params:
         return False
     layers = cp_params["layers"]
-    need = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
+    if "qkv_proj" in layers:  # fused serving layout
+        need = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
+    else:
+        need = (
+            "q_proj", "k_proj", "v_proj", "o_proj",
+            "gate_proj", "up_proj", "down_proj",
+        )
     if any(k not in layers or not isinstance(layers[k], Int8Linear) for k in need):
         return False
     if not isinstance(cp_params["lm_head"], Int8Linear):
@@ -388,12 +413,14 @@ def _call(
     lm = cp_params["lm_head"]
     lms = jnp.zeros((NCB + 1, V), jnp.float32).at[:NCB].set(lm.scale[:, 0, :])
 
+    fused = "qkv_proj" in layers
     kernel = functools.partial(
-        _cp_kernel, s, mode, float(temperature), int(top_k), float(cp_cfg.rms_norm_eps)
+        _cp_kernel, s, mode, float(temperature), int(top_k),
+        float(cp_cfg.rms_norm_eps), fused,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pltpu.ANY)
-    n_vmem_in = 23
+    n_vmem_in = 17 if fused else 23
     codes, esum, logits = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -425,13 +452,24 @@ def _call(
         x0,
         cos,
         sin,
-        layers["q_proj"].q, layers["q_proj"].scale,
-        layers["k_proj"].q, layers["k_proj"].scale,
-        layers["v_proj"].q, layers["v_proj"].scale,
-        layers["o_proj"].q, layers["o_proj"].scale,
-        layers["gate_proj"].q, layers["gate_proj"].scale,
-        layers["up_proj"].q, layers["up_proj"].scale,
-        layers["down_proj"].q, layers["down_proj"].scale,
+        *(
+            (
+                layers["qkv_proj"].q, layers["qkv_proj"].scale,
+                layers["o_proj"].q, layers["o_proj"].scale,
+                layers["gate_up_proj"].q, layers["gate_up_proj"].scale,
+                layers["down_proj"].q, layers["down_proj"].scale,
+            )
+            if fused
+            else (
+                layers["q_proj"].q, layers["q_proj"].scale,
+                layers["k_proj"].q, layers["k_proj"].scale,
+                layers["v_proj"].q, layers["v_proj"].scale,
+                layers["o_proj"].q, layers["o_proj"].scale,
+                layers["gate_proj"].q, layers["gate_proj"].scale,
+                layers["up_proj"].q, layers["up_proj"].scale,
+                layers["down_proj"].q, layers["down_proj"].scale,
+            )
+        ),
         nrm(layers["input_layernorm"]),
         nrm(layers["post_attention_layernorm"]),
         nrm(layers["q_norm"]),

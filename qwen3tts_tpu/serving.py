@@ -233,3 +233,239 @@ class ContinuousBatcher:
 
         return [o if o is not None else BatchOutput(np.zeros((0, 16), np.int32), 0)
                 for o in outputs]
+
+
+class Qwen3TTSServer:
+    """Long-lived online-serving front end over the continuous batcher.
+
+    ``submit()`` is thread-safe and returns a ``concurrent.futures.Future``
+    resolving to a :class:`BatchOutput`. One background worker thread owns
+    the device state: it admits queued requests into free cache slots
+    between decode chunks (``models/batch_generate.py::admit_slot``),
+    advances all active slots in lockstep, harvests finished sequences, and
+    blocks on a condition variable when idle — no busy polling, no
+    recompilation per request (all shapes are fixed at construction:
+    ``prompt_bucket`` / ``trailing_bucket`` / ``max_frames``).
+
+    Extension beyond the reference's batch-1, one-shot API (SURVEY.md
+    §2.4); the single-call equivalent is ``ContinuousBatcher.run``.
+    """
+
+    def __init__(
+        self,
+        talker_params,
+        cp_params,
+        *,
+        talker_cfg,
+        cp_cfg,
+        sampling: SamplingConfig,
+        tts_pad_embed: jnp.ndarray,  # [h]
+        slots: int = 4,
+        chunk_frames: int = 25,
+        max_frames: int = 256,
+        prompt_bucket: int = 256,
+        trailing_bucket: int = 64,
+        cache_len: int | None = None,
+        dtype=jnp.bfloat16,
+        mesh=None,
+    ):
+        import threading
+
+        self.talker_params = talker_params
+        self.cp_params = cp_params
+        self.talker_cfg = talker_cfg
+        self.cp_cfg = cp_cfg
+        self.sampling = sampling
+        self.tts_pad = tts_pad_embed.astype(dtype)
+        self.slots = slots
+        self.chunk_frames = chunk_frames
+        self.max_frames = max_frames
+        self.prompt_bucket = prompt_bucket
+        self.trailing_bucket = trailing_bucket
+        self.cache_len = (
+            cache_len or -(-(prompt_bucket + max_frames) // 128) * 128
+        )
+        self.dtype = dtype
+        self.mesh = mesh
+        self.total_iterations = 0
+
+        self._lock = threading.Condition()
+        self._queue: list = []  # [(BatchItem, Future)]
+        self._stop = False
+        self._thread = threading.Thread(
+            target=self._worker, name="qwen3tts-server", daemon=True
+        )
+        self._started = False
+
+    # -- client API ------------------------------------------------------
+    def submit(self, item: BatchItem):
+        """Enqueue a request; returns a Future[BatchOutput]."""
+        from concurrent.futures import Future
+
+        if item.prefill_embeds.shape[1] > self.prompt_bucket:
+            raise ValueError(
+                f"prompt {item.prefill_embeds.shape[1]} exceeds prompt_bucket "
+                f"{self.prompt_bucket}"
+            )
+        if item.trailing.shape[0] > self.trailing_bucket:
+            raise ValueError(
+                f"trailing {item.trailing.shape[0]} exceeds trailing_bucket "
+                f"{self.trailing_bucket}"
+            )
+        fut = Future()
+        with self._lock:
+            if self._stop:
+                raise RuntimeError("server is closed")
+            self._queue.append((item, fut))
+            if not self._started:
+                self._started = True
+                self._thread.start()
+            self._lock.notify()
+        return fut
+
+    def close(self, wait: bool = True):
+        """Stop accepting work; drain in-flight requests, then stop."""
+        with self._lock:
+            self._stop = True
+            self._lock.notify()
+        if wait and self._started:
+            self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- worker ----------------------------------------------------------
+    def _scope(self):
+        if self.mesh is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return jax.set_mesh(self.mesh)
+
+    def _empty_carry(self):
+        B, h = self.slots, self.talker_cfg.hidden_size
+        cache = tk.make_cache(self.talker_cfg, B, self.cache_len, self.dtype)
+        if self.mesh is not None:
+            from .parallel import mesh as pm
+
+            cache = pm.shard_cache(cache, self.mesh)
+        return bg.BatchCarry(
+            step=jnp.int32(0),
+            steps=jnp.zeros((B,), jnp.int32),
+            frames=jnp.zeros((B,), jnp.int32),
+            done=jnp.ones((B,), bool),
+            cur_input=jnp.zeros((B, 1, h), self.dtype),
+            cache=cache,
+            offsets=jnp.zeros((B,), jnp.int32),
+            seen=jnp.zeros((B, self.talker_cfg.vocab_size), bool),
+            codes=jnp.zeros(
+                (B, self.max_frames, self.talker_cfg.num_code_groups), jnp.int32
+            ),
+            tokens=jnp.zeros((B, self.max_frames), jnp.int32),
+            key=jax.random.PRNGKey(0),
+        )
+
+    def _worker(self):
+        B = self.slots
+        common = dict(
+            talker_cfg=self.talker_cfg, cp_cfg=self.cp_cfg, sampling=self.sampling
+        )
+        carry = self._empty_carry()
+        trailing_all = jnp.zeros(
+            (B, self.trailing_bucket, self.talker_cfg.hidden_size), self.dtype
+        )
+        trail_lens = np.zeros((B,), np.int32)
+        slot_fut = [None] * B  # slot -> pending Future
+        slot_caps = np.zeros((B,), np.int32)
+
+        def harvest(s, carry):
+            fut = slot_fut[s]
+            slot_fut[s] = None
+            fr = int(np.asarray(carry.frames)[s])
+            out = BatchOutput(
+                codes=np.asarray(carry.codes)[s, :fr].copy(), n_frames=fr
+            )
+            if not fut.set_running_or_notify_cancel():
+                return
+            fut.set_result(out)
+
+        while True:
+            with self._lock:
+                while not self._queue and not self._stop and all(
+                    f is None for f in slot_fut
+                ):
+                    self._lock.wait()
+                if (
+                    self._stop
+                    and not self._queue
+                    and all(f is None for f in slot_fut)
+                ):
+                    return
+                pending = self._queue
+                self._queue = []
+
+            # admit into free slots; overflow goes back on the queue
+            overflow = []
+            for item, fut in pending:
+                s = next((i for i in range(B) if slot_fut[i] is None), None)
+                if s is None:
+                    overflow.append((item, fut))
+                    continue
+                e = item.prefill_embeds.astype(self.dtype)
+                e = jnp.pad(
+                    e, ((0, 0), (0, self.prompt_bucket - e.shape[1]), (0, 0))
+                )
+                t = item.trailing.astype(self.dtype)
+                t = jnp.pad(t, ((0, self.trailing_bucket - t.shape[0]), (0, 0)))
+                with self._scope():
+                    carry, trailing_all = bg.admit_slot(
+                        self.talker_params,
+                        self.cp_params,
+                        carry,
+                        trailing_all,
+                        **common,
+                        slot=jnp.int32(s),
+                        prefill_embeds=e,
+                        prefill_len=jnp.int32(item.prefill_embeds.shape[1]),
+                        trailing_row=t,
+                        trailing_len=jnp.int32(item.trailing.shape[0]),
+                        tts_pad_embed=self.tts_pad,
+                        key=jax.random.PRNGKey(item.seed),
+                    )
+                slot_fut[s] = fut
+                slot_caps[s] = min(item.max_steps, self.max_frames)
+                trail_lens[s] = item.trailing.shape[0]
+                if bool(np.asarray(carry.done)[s]):  # EOS on the first frame
+                    harvest(s, carry)
+            if overflow:
+                with self._lock:
+                    self._queue = overflow + self._queue
+
+            if all(f is None for f in slot_fut):
+                continue
+
+            # one lockstep chunk over the active slots
+            active = np.asarray([f is not None for f in slot_fut])
+            max_steps = np.where(active, slot_caps, 0).astype(np.int32)
+            step_now = int(carry.step)
+            with self._scope():
+                carry = bg.generate_chunk_batch(
+                    self.talker_params,
+                    self.cp_params,
+                    carry,
+                    **common,
+                    trailing_embeds=trailing_all,
+                    trailing_lens=jnp.asarray(trail_lens),
+                    tts_pad_embed=self.tts_pad,
+                    max_steps=jnp.asarray(max_steps),
+                    until_step=jnp.int32(step_now + self.chunk_frames),
+                )
+            self.total_iterations = int(carry.step)
+
+            done = np.asarray(carry.done)
+            for s in range(B):
+                if slot_fut[s] is not None and done[s]:
+                    harvest(s, carry)

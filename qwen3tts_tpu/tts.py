@@ -252,12 +252,15 @@ class Qwen3TTSModel:
         # int8 talker step (1.11 vs 1.25 ms) but slower for bf16 and for the
         # code predictor — auto-fuse exactly that case. TP sharding needs
         # unfused head groups, so a mesh disables it.
+        # under int8 the CP runs in the fused Pallas kernel where one
+        # qkv/gate-up matvec replaces 3/2 serial ones (the XLA-path "CP
+        # fusion slower" measurement does not apply in-kernel)
         fuse_talker = fuse or (quantize == "int8" and mesh is None)
         if fuse_talker:
             ckpt.talker_params["layers"] = tk_mod.fuse_layer_projections(
                 ckpt.talker_params["layers"]
             )
-        if fuse and ckpt.cp_params is not None:
+        if (fuse or fuse_talker) and ckpt.cp_params is not None:
             ckpt.cp_params["layers"] = tk_mod.fuse_layer_projections(
                 ckpt.cp_params["layers"]
             )

@@ -203,3 +203,65 @@ class TestContinuousBatching:
         # of 2 would cost 12+2+2+2 = 18+ iterations.
         ideal = max(12, 1 + sum(caps) - 12)  # second slot drains 6x cap-2
         assert iters <= ideal + 2 * 2 + 1, f"{iters} iterations vs ideal {ideal}"
+
+
+class TestServer:
+    """Qwen3TTSServer: long-lived thread-safe front end over admit/chunk."""
+
+    def _server(self, params, slots=2, **kw):
+        from qwen3tts_tpu.serving import Qwen3TTSServer
+
+        talker, cpp = params
+        return Qwen3TTSServer(
+            talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=GREEDY,
+            tts_pad_embed=jnp.zeros((TINY_TALKER.hidden_size,)),
+            slots=slots, chunk_frames=3, max_frames=16,
+            prompt_bucket=16, trailing_bucket=8, cache_len=64,
+            dtype=jnp.float32, **kw,
+        )
+
+    def _item(self, i, plen, cap):
+        from qwen3tts_tpu.serving import BatchItem
+
+        h = TINY_TALKER.hidden_size
+        p = jax.random.normal(jax.random.PRNGKey(100 + i), (1, plen, h)) * 0.1
+        t = jax.random.normal(jax.random.PRNGKey(200 + i), (3, h)) * 0.1
+        return BatchItem(prefill_embeds=p, trailing=t, max_steps=cap)
+
+    def test_submissions_match_single_runs(self, params):
+        srv = self._server(params)
+        items = [self._item(i, plen, cap)
+                 for i, (plen, cap) in enumerate([(6, 4), (5, 4), (7, 5), (4, 3)])]
+        futs = [srv.submit(it) for it in items]
+        outs = [f.result(timeout=600) for f in futs]
+        srv.close()
+        for i, it in enumerate(items):
+            ref = _single(
+                params, it.prefill_embeds[0], it.prefill_embeds.shape[1],
+                it.trailing, 3, max_steps=it.max_steps, max_frames=16,
+            )
+            n = int(ref.n_frames)
+            assert outs[i].n_frames == n
+            np.testing.assert_array_equal(outs[i].codes, np.asarray(ref.codes)[:n])
+
+    def test_idle_then_resubmit(self, params):
+        """The worker sleeps when drained and wakes for late submissions."""
+        import time
+
+        srv = self._server(params)
+        out1 = srv.submit(self._item(0, 6, 4)).result(timeout=600)
+        time.sleep(0.3)  # let the worker go idle
+        out2 = srv.submit(self._item(1, 5, 3)).result(timeout=600)
+        srv.close()
+        assert out1.n_frames >= 1 and out2.n_frames >= 1
+
+    def test_rejects_oversized_and_closed(self, params):
+        import pytest as _pytest
+
+        srv = self._server(params)
+        with _pytest.raises(ValueError):
+            srv.submit(self._item(0, 17, 4))  # > prompt_bucket
+        srv.submit(self._item(1, 5, 3)).result(timeout=600)
+        srv.close()
+        with _pytest.raises(RuntimeError):
+            srv.submit(self._item(2, 5, 3))

@@ -33,12 +33,17 @@ def _tiny_cfg():
     )
 
 
-@pytest.fixture(scope="module")
-def setup():
+@pytest.fixture(scope="module", params=["unfused", "fused"])
+def setup(request):
     cfg = _tiny_cfg()
     talker_h = cfg.hidden_size
     key = jax.random.PRNGKey(0)
     cpp = cp.init_code_predictor_params(key, cfg, talker_h, jnp.bfloat16)
+    if request.param == "fused":
+        from qwen3tts_tpu.models.talker import fuse_layer_projections
+
+        cpp = dict(cpp)
+        cpp["layers"] = fuse_layer_projections(cpp["layers"])
     cpp = quantize_decode_params_int8(cpp, "lm_head")
     talker_params = {
         "codec_embedding": jax.random.normal(

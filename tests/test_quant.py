@@ -151,10 +151,11 @@ class TestInt8Runtime:
         d = write_checkpoint(str(tmp_path_factory.mktemp("int8ckpt")))
         m = Qwen3TTSModel.from_pretrained(d, dtype=jnp.float32, quantize="int8")
         m.tokenizer = StubTokenizer()
-        # int8 auto-fuses the talker projections (measured faster on v5e)
+        # int8 auto-fuses talker AND CP projections (both decode in the
+        # fused Pallas kernels, where one qkv matvec replaces three)
         assert isinstance(m.talker_params["layers"]["qkv_proj"], Int8Linear)
         assert isinstance(m.talker_params["codec_head"], Int8Linear)
-        assert isinstance(m.cp_params["layers"]["q_proj"], Int8Linear)
+        assert isinstance(m.cp_params["layers"]["qkv_proj"], Int8Linear)
         assert isinstance(m.cp_params["lm_head"], Int8Linear)
         audio = m.generate("Int8 runtime", speaker="Aiden", max_tokens=6, seed=0)
         assert audio.shape[0] > 0 and np.isfinite(audio).all()
