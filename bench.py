@@ -81,6 +81,12 @@ def main() -> None:
             cp_params["layers"] = tk.fuse_layer_projections(cp_params["layers"])
         cp_params = quantize_decode_params_int8(cp_params, "lm_head")
         log("runtime int8 weight-only quantization (fused projections)")
+    elif not INT4:
+        # mirror from_pretrained bf16-on-TPU: fuse the talker so the
+        # whole-step kernel (mode='bf16') engages; CP stays unfused
+        talker_params = dict(talker_params)
+        talker_params["layers"] = tk.fuse_layer_projections(talker_params["layers"])
+        log("bf16 with fused talker projections (whole-step kernel)")
     voc_params = vc.init_vocoder_params(jax.random.PRNGKey(2), vcfg, jnp.float32)
     jax.block_until_ready(talker_params["layers"]["input_layernorm"])
     log(f"param init: {time.time() - t0:.1f}s")

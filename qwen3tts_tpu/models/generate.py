@@ -113,11 +113,12 @@ def _use_talker_sample_kernel(talker_params, talker_cfg, sampling) -> bool:
         return False
     if jax.devices()[0].platform not in ("tpu", "axon"):
         return False
-    from ..ops.quant import Int8Linear
+    from ..ops.quant import Int8Linear, PackedLinear
     from ..ops.talker_kernel import step_supported
 
-    if not isinstance(talker_params.get("codec_head"), Int8Linear):
-        return False
+    head = talker_params.get("codec_head")
+    if head is None or isinstance(head, PackedLinear):
+        return False  # Int8Linear or a dense array both fuse in-kernel
     return step_supported(talker_params, talker_cfg)
 
 

@@ -297,8 +297,9 @@ def forward(
     import os
 
     # Fused whole-step Pallas kernel (ops/talker_kernel.py): all L layers as
-    # one grid program with double-buffered int8 weight streaming. Covers the
-    # int8-serving decode hot path (B=1, S=1, fused Int8Linear layout).
+    # one grid program with double-buffered weight streaming. Covers the
+    # B=1, S=1 decode hot path for both fused layouts (Int8Linear serving
+    # and dense-bf16 fused projections).
     if (
         S == 1
         and B == 1
@@ -306,11 +307,13 @@ def forward(
         and jax.devices()[0].platform in ("tpu", "axon")
         and not os.environ.get("QWEN3TTS_NO_TALKER_KERNEL")
     ):
-        from ..ops.talker_kernel import step_supported, talker_decode_step
+        from ..ops.talker_kernel import _layout, step_supported, talker_decode_step
 
         if step_supported(params, cfg):
+            mode = "wo_bf16" if _layout(params["layers"]) == "int8" else "bf16"
             h, k_new, v_new = talker_decode_step(
-                params, cfg, inputs_embeds, cache.k, cache.v, offset, cos, sin
+                params, cfg, inputs_embeds, cache.k, cache.v, offset, cos, sin,
+                mode=mode,
             )
             k_all = jax.lax.dynamic_update_slice(
                 cache.k, k_new[:, None, :, None, :], (0, 0, 0, offset, 0)
@@ -398,7 +401,7 @@ def forward_step_sample(
     Only valid when ``forward`` would take the fused-kernel path (caller
     gates on ``ops.talker_kernel.step_supported``). Returns
     (hidden [1, 1, h] post-final-norm, new_cache, code0 [1] int32)."""
-    from ..ops.talker_kernel import talker_decode_step
+    from ..ops.talker_kernel import _layout, talker_decode_step
 
     positions = jnp.broadcast_to(offset[None, None], (1, 1)).astype(jnp.int32)
     cos, sin = mrope_cos_sin(
@@ -407,6 +410,7 @@ def forward_step_sample(
     )
     h, k_new, v_new, code0 = talker_decode_step(
         params, cfg, inputs_embeds, cache.k, cache.v, offset, cos, sin,
+        mode="wo_bf16" if _layout(params["layers"]) == "int8" else "bf16",
         sample=dict(
             temperature=float(temperature),
             top_k=int(top_k),

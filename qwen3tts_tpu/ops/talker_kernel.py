@@ -142,7 +142,12 @@ def _talker_step_kernel(
                 preferred_element_type=jnp.int32,
             )
             y = acc.astype(jnp.float32) * (s * s_ref[0])
-        else:
+        elif mode == "bf16":  # dense bf16 weights, no scale
+            y = jax.lax.dot_general(
+                x, w_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:  # "wo_bf16": int8 weights converted on load, per-channel scale
             w = w_ref[0].astype(jnp.bfloat16)
             y = jax.lax.dot_general(
                 x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -325,23 +330,52 @@ def _shapes(cfg) -> dict:
     )
 
 
-def step_supported(params, cfg) -> bool:
-    """Fused Int8Linear serving layout, 128-aligned dims, fits VMEM."""
+def _layout(layers):
+    """'int8' (Int8Linear), 'bf16' (dense fused arrays), or None."""
+    import jax as _jax
+
     from .quant import Int8Linear
 
-    layers = params["layers"]
-    if not all(
-        k in layers and isinstance(layers[k], Int8Linear)
-        for k in ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
+    keys = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
+    if not all(k in layers for k in keys):
+        return None
+    if all(isinstance(layers[k], Int8Linear) for k in keys):
+        return "int8"
+    if all(
+        isinstance(layers[k], (_jax.Array, jnp.ndarray))
+        and layers[k].dtype == jnp.bfloat16
+        for k in keys
     ):
+        return "bf16"
+    return None
+
+
+def _wq(w):
+    """(weight stack [L, in, out], scale stack [L, 1, out] f32)."""
+    from .quant import Int8Linear
+
+    if isinstance(w, Int8Linear):
+        return w.q, w.scale
+    return w, jnp.ones((w.shape[0], 1, w.shape[-1]), jnp.float32)
+
+
+def step_supported(params, cfg) -> bool:
+    """Fused projection layout (Int8Linear serving or dense bf16),
+    128-aligned dims, double-buffered weights fit VMEM."""
+    layers = params["layers"]
+    layout = _layout(layers)
+    if layout is None:
         return False
     s = _shapes(cfg)
     if not (s["H"] % 128 == 0 and s["I"] % 128 == 0 and s["D"] == 128):
         return False
-    # Pallas double-buffers every blocked input: 2x the per-layer int8
-    # weights must fit VMEM alongside the 4 KV stream buffers (v5e: 128 MB).
+    # Pallas double-buffers every blocked input: 2x the per-layer weights
+    # must fit VMEM alongside the 4 KV stream buffers (v5e: 128 MB).
     H, D, NQ, NKV, I = (s[k] for k in ("H", "D", "NQ", "NKV", "I"))
-    per_layer = H * (NQ + 2 * NKV) * D + NQ * D * H + H * 2 * I + I * H
+    itemsize = 1 if layout == "int8" else 2
+    per_layer = (
+        H * (NQ + 2 * NKV) * D + NQ * D * H + H * 2 * I + I * H
+    ) * itemsize
     kv_bufs = 4 * NKV * 512 * D * 2
     return 2 * per_layer + kv_bufs < 112 * 2**20
 
@@ -384,11 +418,13 @@ def talker_decode_step(
     kernel = functools.partial(
         _talker_step_kernel, s, mode, float(cfg.rms_norm_eps), block_t, sample
     )
-    qkv, o_p = layers["qkv_proj"], layers["o_proj"]
-    gu_p, d_p = layers["gate_up_proj"], layers["down_proj"]
+    qkv_w, qkv_s = _wq(layers["qkv_proj"])
+    o_w, o_s = _wq(layers["o_proj"])
+    gu_w, gu_s = _wq(layers["gate_up_proj"])
+    d_w, d_s = _wq(layers["down_proj"])
 
     in_specs = [
-        blk((1, H, qkv.q.shape[-1])), blk((1, 1, qkv.q.shape[-1])),
+        blk((1, H, qkv_w.shape[-1])), blk((1, 1, qkv_w.shape[-1])),
         blk((1, NQ * D, H)), blk((1, 1, H)),
         blk((1, H, 2 * I)), blk((1, 1, 2 * I)),
         blk((1, I, H)), blk((1, 1, H)),
@@ -398,10 +434,10 @@ def talker_decode_step(
         const((1, H)),
     ]
     operands = [
-        qkv.q, qkv.scale,
-        o_p.q, o_p.scale,
-        gu_p.q, gu_p.scale,
-        d_p.q, d_p.scale,
+        qkv_w, qkv_s,
+        o_w, o_s,
+        gu_w, gu_s,
+        d_w, d_s,
         nrm(layers["input_layernorm"]),
         nrm(layers["post_attention_layernorm"]),
         nrm(layers["q_norm"]),
@@ -418,14 +454,21 @@ def talker_decode_step(
     ]
     scalars = [jnp.asarray(pos, jnp.int32)[None]]
     if sample is not None:
+        from .quant import Int8Linear
+
         head = params["codec_head"]
-        V = head.q.shape[-1]
+        if isinstance(head, Int8Linear):
+            head_w, head_s = head.q, head.scale
+        else:
+            head_w = head.astype(jnp.bfloat16)
+            head_s = jnp.ones((1, head.shape[-1]), jnp.float32)
+        V = head_w.shape[-1]
         in_specs += [
             const((H, V)), const((1, V)), const((1, H)),
             const((1, V)), const((1, V)),
         ]
         operands += [
-            head.q, head.scale.reshape(1, V).astype(jnp.float32),
+            head_w, head_s.reshape(1, V).astype(jnp.float32),
             params["norm"].astype(jnp.float32)[None],
             suppress_add.astype(jnp.float32),
             seen.astype(jnp.float32),

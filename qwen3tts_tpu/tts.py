@@ -254,13 +254,29 @@ class Qwen3TTSModel:
         # unfused head groups, so a mesh disables it.
         # under int8 the CP runs in the fused Pallas kernel where one
         # qkv/gate-up matvec replaces 3/2 serial ones (the XLA-path "CP
-        # fusion slower" measurement does not apply in-kernel)
-        fuse_talker = fuse or (quantize == "int8" and mesh is None)
+        # fusion slower" measurement does not apply in-kernel). Dense bf16
+        # on TPU also auto-fuses the talker: the whole-step kernel
+        # (ops/talker_kernel.py mode='bf16') needs the fused layout.
+        from .ops.quant import Int8Linear, PackedLinear
+
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        _q0 = ckpt.talker_params["layers"]["q_proj"]
+        bf16_kernel_ready = (
+            on_tpu
+            and quantize is None
+            and not isinstance(_q0, (PackedLinear, Int8Linear))
+            and _q0.dtype == jnp.bfloat16
+        )
+        fuse_talker = fuse or (
+            mesh is None and (quantize == "int8" or bf16_kernel_ready)
+        )
         if fuse_talker:
             ckpt.talker_params["layers"] = tk_mod.fuse_layer_projections(
                 ckpt.talker_params["layers"]
             )
-        if (fuse or fuse_talker) and ckpt.cp_params is not None:
+        # CP fusion only helps inside the int8 CP kernel; the bf16 CP stays
+        # on the XLA path where unfused matvecs measured faster
+        if (fuse or (quantize == "int8" and mesh is None)) and ckpt.cp_params is not None:
             ckpt.cp_params["layers"] = tk_mod.fuse_layer_projections(
                 ckpt.cp_params["layers"]
             )

@@ -106,6 +106,25 @@ def test_decode_step_parity(setup, pos, t_max):
         assert d < 0.1, f"{name} row mismatch: scaled {d:.4f} (pos={pos})"
 
 
+def test_decode_step_parity_bf16_dense(setup):
+    """Dense bf16 fused layout (no quantization) through mode='bf16'."""
+    cfg, _ = setup
+    params = tk.init_talker_params(jax.random.PRNGKey(2), cfg, jnp.bfloat16)
+    params["layers"] = tk.fuse_layer_projections(params["layers"])
+    from qwen3tts_tpu.ops.talker_kernel import _layout
+
+    assert _layout(params["layers"]) == "bf16"
+    assert step_supported(params, cfg)
+    h_xla, h_k, kv_xla, kv_k = _run_both(cfg, params, 37, 256, mode="bf16")
+    scale = np.abs(h_xla).mean() + 1e-6
+    rel = np.abs(h_k - h_xla).max() / scale
+    assert rel < 0.15, f"hidden mismatch: scaled {rel:.4f} (pos={pos})"
+    for a, b, name in (*zip(kv_xla, kv_k, ("k", "v")),):
+        s = np.abs(a).mean() + 1e-6
+        d = np.abs(a - b).max() / s
+        assert d < 0.1, f"{name} row mismatch: scaled {d:.4f} (pos={pos})"
+
+
 def test_decode_step_parity_dyn_int8(setup):
     cfg, params = setup
     h_xla, h_k, _, _ = _run_both(cfg, params, 37, 256, mode="dyn_int8")
