@@ -79,8 +79,12 @@ def _frame_batch(
 ):
     """Sample codebook 0 for every sequence + batched code-predictor frame.
 
-    Returns (code0 [B], rest [B, 15], is_eos [B], seen', key').
+    Returns (code0 [B], rest [B, 15], is_eos [B], seen', key', codec_sum).
+    ``codec_sum`` ([B, h] f32 or None) short-circuits the embedding gathers
+    in ``_next_input_batch`` when the fused CP kernel produced it.
     """
+    from .generate import _cpk_mode, _use_cp_kernel
+
     key, k_tok, k_cp = jax.random.split(key, 3)
     eos_id = talker_cfg.codec_eos_token_id
     code0 = _sample_batch(k_tok, logits_last, sampling, seen, suppress_mask, eos_id)
@@ -90,26 +94,42 @@ def _frame_batch(
     # the code predictor is batch-general; run it for all sequences (finished
     # ones produce discarded values — branching per-sequence would force a
     # gather/compact that costs more than the wasted compute at these sizes)
+    code0_cp = jnp.where(is_eos, 0, code0)
+    if _use_cp_kernel(cp_params, cp_cfg, talker_cfg, sampling):
+        from ..ops.cp_kernel import predict_codes_fused
+
+        rest, esum = predict_codes_fused(
+            cp_params, cp_cfg, talker_params, hidden_last, code0_cp, k_cp,
+            temperature=sampling.temperature, top_k=sampling.top_k,
+            mode=_cpk_mode(),
+        )
+        codec_sum = tk.embed_codec(talker_params, code0).astype(jnp.float32) + esum
+        return code0, rest, is_eos, seen, key, codec_sum
     rest = cp.predict_codes(
         cp_params, cp_cfg, talker_params, hidden_last,
-        jnp.where(is_eos, 0, code0), k_cp,
+        code0_cp, k_cp,
         temperature=sampling.temperature, top_k=sampling.top_k, top_p=sampling.top_p,
         ref_exact_top_p=sampling.ref_exact_top_p,
     )
-    return code0, rest, is_eos, seen, key
+    return code0, rest, is_eos, seen, key, None
 
 
 def _next_input_batch(
-    cp_params, talker_params, trailing, trailing_lens, tts_pad, steps, code0, rest
+    cp_params, talker_params, trailing, trailing_lens, tts_pad, steps, code0, rest,
+    codec_sum=None,
 ):
     """Per-sequence next input: trailing[b, steps[b]] (or pad) + codec-embed
     sum. ``steps`` is [B] — sequences admitted at different times (continuous
-    batching) read their own trailing position."""
+    batching) read their own trailing position. ``codec_sum`` short-circuits
+    the embedding gathers when the fused CP kernel already summed them."""
     steps = jnp.broadcast_to(steps, code0.shape)
     idx = jnp.minimum(steps, trailing.shape[1] - 1)  # [B]
     text_rows = jnp.take_along_axis(trailing, idx[:, None, None], axis=1)[:, 0]
     text = jnp.where((steps < trailing_lens)[:, None], text_rows, tts_pad[None])
-    codec = cp.sum_codec_embeddings(cp_params, talker_params, code0, rest)
+    if codec_sum is None:
+        codec = cp.sum_codec_embeddings(cp_params, talker_params, code0, rest)
+    else:
+        codec = codec_sum  # [B, h] float32
     return (text + codec.astype(text.dtype))[:, None]  # [B, 1, h]
 
 
@@ -145,7 +165,7 @@ def prefill_start_batch(
     )[:, 0]  # [B, h]
     logits_last = tk.codec_logits(talker_params, last[:, None])[:, 0]
 
-    code0, rest, is_eos, seen, key = _frame_batch(
+    code0, rest, is_eos, seen, key, codec_sum = _frame_batch(
         talker_params, cp_params, talker_cfg, cp_cfg, sampling, suppress_mask,
         last, logits_last, jnp.zeros((B, vocab), bool), key,
     )
@@ -161,7 +181,7 @@ def prefill_start_batch(
         done=is_eos,
         cur_input=_next_input_batch(
             cp_params, talker_params, trailing_embeds, trailing_lens,
-            tts_pad_embed, jnp.zeros((B,), jnp.int32), code0, rest,
+            tts_pad_embed, jnp.zeros((B,), jnp.int32), code0, rest, codec_sum,
         ),
         cache=cache,
         offsets=prefill_lens.astype(jnp.int32),
@@ -208,7 +228,7 @@ def generate_chunk_batch(
             talker_params, talker_cfg, c.cur_input, c.cache, c.offsets
         )
         logits_last = tk.codec_logits(talker_params, hidden)[:, 0]
-        code0, rest, is_eos, seen, key = _frame_batch(
+        code0, rest, is_eos, seen, key, codec_sum = _frame_batch(
             talker_params, cp_params, talker_cfg, cp_cfg, sampling, suppress_mask,
             hidden[:, 0], logits_last, c.seen, c.key,
         )
@@ -237,7 +257,7 @@ def generate_chunk_batch(
             done=c.done | (active & is_eos) | (steps >= max_steps),
             cur_input=_next_input_batch(
                 cp_params, talker_params, trailing_embeds, trailing_lens,
-                tts_pad_embed, c.steps, code0, rest,
+                tts_pad_embed, c.steps, code0, rest, codec_sum,
             ),
             cache=cache,
             offsets=c.offsets + active.astype(jnp.int32),
@@ -304,13 +324,13 @@ def admit_slot(
     last = jax.lax.dynamic_index_in_dim(hidden, prefill_len - 1, 1, keepdims=False)
     logits = tk.codec_logits(talker_params, last[:, None])[:, 0]
     key, k_frame = jax.random.split(key)
-    code0, rest, is_eos, seen1, _ = _frame_batch(
+    code0, rest, is_eos, seen1, _, codec_sum = _frame_batch(
         talker_params, cp_params, talker_cfg, cp_cfg, sampling, suppress_mask,
         last, logits, jnp.zeros((1, vocab), bool), k_frame,
     )
     next_in = _next_input_batch(
         cp_params, talker_params, trailing_row[None], trailing_len[None],
-        tts_pad_embed, jnp.zeros((1,), jnp.int32), code0, rest,
+        tts_pad_embed, jnp.zeros((1,), jnp.int32), code0, rest, codec_sum,
     )
 
     row = jnp.concatenate([code0[:, None], rest], axis=1)  # [1, 16]

@@ -69,7 +69,7 @@ def _cp_kernel(
       scalar prefetch:
         seed_ref   SMEM [2] int32 PRNG seed words
       VMEM inputs:
-        x0         [2, H] bf16: [projected last_hidden, embed(code0)]
+        x0         [B, 2, H] bf16: [projected last_hidden, embed(code0)]
         cos, sin   [SLOTS, D] f32
         unfused: wq/sq [L,H,NQ*D], wk/sk wv/sv [L,H,NKV*D]
         fused:   wqkv/sqkv [L, H, (NQ+2NKV)*D]
@@ -81,10 +81,10 @@ def _cp_kernel(
       HBM inputs:
         lmh_hbm    [NCB, H, V] int8;  emb_hbm [NCB, V, H] bf16
       outputs:
-        codes      VMEM [1, 128] int32 (lanes 0..14 = codes)
-        esum       VMEM [1, H] f32;  logits VMEM [16, V] f32
+        codes      VMEM [B, 128] int32 (lanes 0..14 = codes)
+        esum       VMEM [B, H] f32;  logits VMEM [16, B, V] f32
       scratch:
-        kf/vf      VMEM [L, NKV*SLOTS, D] bf16 (row h*SLOTS+t)
+        kf/vf      VMEM [L, B*NKV*SLOTS, D] bf16 (row (b*NKV+h)*SLOTS+t)
         hbuf       VMEM [3, H, V] int8;  ebuf VMEM [3, V, H] bf16
         hsem, esem DMA semaphores (3,) each
     """
@@ -103,10 +103,11 @@ def _cp_kernel(
          lmh_hbm, emb_hbm,
          codes_ref, esum_ref, logits_ref,
          kf_ref, vf_ref, hbuf_ref, ebuf_ref, hsem, esem) = refs
-    H, D, NQ, NKV, I, V, L, NCB, SLOTS = (
-        shapes[k] for k in ("H", "D", "NQ", "NKV", "I", "V", "L", "NCB", "SLOTS")
+    H, D, NQ, NKV, I, V, L, NCB, SLOTS, B = (
+        shapes[k]
+        for k in ("H", "D", "NQ", "NKV", "I", "V", "L", "NCB", "SLOTS", "B")
     )
-    KVROWS = NKV * SLOTS
+    KVROWS = B * NKV * SLOTS  # flat cache rows: (b, h, t) -> (b*NKV+h)*SLOTS+t
     scale = D**-0.5
 
     if temperature > 0:
@@ -165,47 +166,56 @@ def _cp_kernel(
         ri = jax.lax.broadcasted_iota(jnp.int32, table.shape, 0)
         return jnp.sum(jnp.where(ri == idx, table, 0.0), axis=0, keepdims=True)
 
-    row128 = jax.lax.broadcasted_iota(jnp.int32, (KVROWS, D), 0)  # cache rows
+    rowsb = jax.lax.broadcasted_iota(jnp.int32, (KVROWS, D), 0)  # cache rows
 
     def forward(x, p):
-        """One position through all L layers. x [1, H] bf16, p scalar pos."""
+        """One position through all L layers. x [B, H] bf16, p scalar pos."""
         cos_row = pick_row(cos_ref[...], p).astype(jnp.bfloat16)
         sin_row = pick_row(sin_ref[...], p).astype(jnp.bfloat16)
         h = x
         for l in range(L):
             xn = rms(h, iln_ref[l])
             if fused:
-                qkv = mv(xn, wqkv_ref, l, sqkv_ref)  # [1, (NQ+2NKV)*D]
-                q = qkv[:, : NQ * D].reshape(NQ, D)
-                k = qkv[:, NQ * D : (NQ + NKV) * D].reshape(NKV, D)
-                v = qkv[:, (NQ + NKV) * D :].reshape(NKV, D)
+                qkv = mv(xn, wqkv_ref, l, sqkv_ref)  # [B, (NQ+2NKV)*D]
+                q = qkv[:, : NQ * D].reshape(B * NQ, D)
+                k = qkv[:, NQ * D : (NQ + NKV) * D].reshape(B * NKV, D)
+                v = qkv[:, (NQ + NKV) * D :].reshape(B * NKV, D)
             else:
-                q = mv(xn, wq_ref, l, sq_ref).reshape(NQ, D)
-                k = mv(xn, wk_ref, l, sk_ref).reshape(NKV, D)
-                v = mv(xn, wv_ref, l, sv_ref).reshape(NKV, D)
+                q = mv(xn, wq_ref, l, sq_ref).reshape(B * NQ, D)
+                k = mv(xn, wk_ref, l, sk_ref).reshape(B * NKV, D)
+                v = mv(xn, wv_ref, l, sv_ref).reshape(B * NKV, D)
             q = rms(q, qn_ref[l])
             k = rms(k, kn_ref[l])
             q = rope(q, cos_row, sin_row)
             k = rope(k, cos_row, sin_row)
 
-            # append k/v at slot p: rows h*SLOTS+p  (masked full-buffer update
-            # — Mosaic rejects bf16 dynamic-sublane stores)
-            k_b = jnp.broadcast_to(k[:, None, :], (NKV, SLOTS, D)).reshape(KVROWS, D)
-            v_b = jnp.broadcast_to(v[:, None, :], (NKV, SLOTS, D)).reshape(KVROWS, D)
-            sel = (row128 % SLOTS) == p
+            # append k/v at slot p: rows (b*NKV+h)*SLOTS+p (masked full-buffer
+            # update — Mosaic rejects bf16 dynamic-sublane stores)
+            k_b = jnp.broadcast_to(
+                k[:, None, :], (B * NKV, SLOTS, D)
+            ).reshape(KVROWS, D)
+            v_b = jnp.broadcast_to(
+                v[:, None, :], (B * NKV, SLOTS, D)
+            ).reshape(KVROWS, D)
+            sel = (rowsb % SLOTS) == p
             kf_ref[l] = jnp.where(sel, k_b, kf_ref[l])
             vf_ref[l] = jnp.where(sel, v_b, vf_ref[l])
 
-            # all-heads GQA over the 16-slot cache in two MXU ops:
-            # scores[qh, h*SLOTS+t] valid iff h == qh // (NQ/NKV) and t <= p
+            # all-heads all-sequences GQA over the 16-slot caches in two MXU
+            # ops: score row b*NQ+qh, col (b', h, t) valid iff b' == b and
+            # h == qh // (NQ/NKV) and t <= p (block-diagonal batch mask)
             s = jax.lax.dot_general(
                 q, kf_ref[l], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale  # [NQ, KVROWS]
-            qh = jax.lax.broadcasted_iota(jnp.int32, (NQ, KVROWS), 0)
-            rr = jax.lax.broadcasted_iota(jnp.int32, (NQ, KVROWS), 1)
+            ) * scale  # [B*NQ, KVROWS]
+            qh = jax.lax.broadcasted_iota(jnp.int32, (B * NQ, KVROWS), 0)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (B * NQ, KVROWS), 1)
             group = NQ // NKV
-            valid = ((rr // SLOTS) == (qh // group)) & ((rr % SLOTS) <= p)
+            valid = (
+                ((rr // (NKV * SLOTS)) == (qh // NQ))
+                & (((rr % (NKV * SLOTS)) // SLOTS) == ((qh % NQ) // group))
+                & ((rr % SLOTS) <= p)
+            )
             s = jnp.where(valid, s, NEG_INF)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
@@ -213,9 +223,9 @@ def _cp_kernel(
             attn = jax.lax.dot_general(
                 probs, vf_ref[l], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)  # [NQ, D]
+            ).astype(jnp.bfloat16)  # [B*NQ, D]
 
-            h = h + mv(attn.reshape(1, NQ * D), wo_ref, l, so_ref)
+            h = h + mv(attn.reshape(B, NQ * D), wo_ref, l, so_ref)
             xn = rms(h, pln_ref[l])
             if fused:
                 gu = mv(xn, wgu_ref, l, sgu_ref).astype(jnp.float32)
@@ -249,8 +259,8 @@ def _cp_kernel(
                 hn, hbuf_ref[hslot].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        logits = logits * pick_row(lms_ref[...], hp)  # [1, V] f32
-        logits_ref[pl.ds(hp, 1), :] = logits
+        logits = logits * pick_row(lms_ref[...], hp)  # [B, V] f32
+        logits_ref[pl.ds(hp, 1), :, :] = logits[None]
 
         if temperature <= 0:
             z = logits
@@ -270,7 +280,7 @@ def _cp_kernel(
 
                 lo, _ = jax.lax.fori_loop(0, 24, bs, (lo0, hi0))
                 z = jnp.where(z >= lo, z, NEG_INF)
-            bits = pltpu.prng_random_bits((1, V))
+            bits = pltpu.prng_random_bits((B, V))
             # Mosaic can't cast uint32 -> f32; mask to 24 positive int32 bits
             b24 = pltpu.bitcast(bits, jnp.int32) & jnp.int32(0xFFFFFF)
             u = b24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
@@ -280,11 +290,13 @@ def _cp_kernel(
         return jnp.min(jnp.where(z == m, lane_v, V), axis=-1, keepdims=True)
 
     # ---- peeled positions 0 and 1 (the 2-token "prefill") ----
-    forward(x0_ref[0:1, :], 0)
-    h = forward(x0_ref[1:2, :], 1)
-    c = sample(0, h)  # codebook-1 code
-    codes = jnp.where(lane_v[:, :128] == 0, c, jnp.zeros((1, 128), jnp.int32))
-    esum = jnp.zeros((1, H), jnp.float32)
+    forward(x0_ref[:, 0, :], 0)
+    h = forward(x0_ref[:, 1, :], 1)
+    c = sample(0, h)  # codebook-1 codes [B, 1]
+    codes = jnp.where(
+        lane_v[:, :128] == 0, c, jnp.zeros((B, 128), jnp.int32)
+    )
+    esum = jnp.zeros((B, H), jnp.float32)
 
     # ---- positions 2..SLOTS-1 ----
     def step(p, carry):
@@ -327,7 +339,7 @@ def _cp_kernel(
     codes_ref[...] = codes
 
 
-def _shapes(cp_cfg, talker_h: int) -> dict:
+def _shapes(cp_cfg, talker_h: int, batch: int = 1) -> dict:
     return dict(
         H=cp_cfg.hidden_size,
         D=cp_cfg.head_dim,
@@ -338,6 +350,7 @@ def _shapes(cp_cfg, talker_h: int) -> dict:
         L=cp_cfg.num_hidden_layers,
         NCB=cp_cfg.num_code_groups - 1,
         SLOTS=cp_cfg.num_code_groups,
+        B=batch,
     )
 
 
@@ -396,7 +409,8 @@ def _call(
     mode: str,
     interpret: bool,
 ):
-    s = _shapes(cp_cfg, talker_h)
+    B = x0.shape[0]
+    s = _shapes(cp_cfg, talker_h, batch=B)
     L, H, D, V, NCB, SLOTS = s["L"], s["H"], s["D"], s["V"], s["NCB"], s["SLOTS"]
     layers = cp_params["layers"]
 
@@ -429,8 +443,8 @@ def _call(
             in_specs=[vmem] * n_vmem_in + [any_, any_],
             out_specs=[vmem, vmem, vmem],
             scratch_shapes=[
-                pltpu.VMEM((L, 128, D), jnp.bfloat16),
-                pltpu.VMEM((L, 128, D), jnp.bfloat16),
+                pltpu.VMEM((L, B * 128, D), jnp.bfloat16),
+                pltpu.VMEM((L, B * 128, D), jnp.bfloat16),
                 pltpu.VMEM((3, H, V), jnp.int8),
                 pltpu.VMEM((3, V, H), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((3,)),
@@ -438,9 +452,9 @@ def _call(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((1, 128), jnp.int32),
-            jax.ShapeDtypeStruct((1, H), jnp.float32),
-            jax.ShapeDtypeStruct((NCB + 1, V), jnp.float32),
+            jax.ShapeDtypeStruct((B, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((NCB + 1, B, V), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -486,8 +500,8 @@ def predict_codes_fused(
     cp_params,
     cp_cfg,
     talker_params,
-    last_hidden,  # [1, talker_h]
-    code0,  # [1] int32
+    last_hidden,  # [B, talker_h]
+    code0,  # [B] int32
     key,
     *,
     temperature: float,
@@ -496,20 +510,27 @@ def predict_codes_fused(
     interpret: bool = False,
     return_logits: bool = False,
 ):
-    """Drop-in fused replacement for cp.predict_codes (B=1, top_p==1).
+    """Drop-in fused replacement for cp.predict_codes (top_p==1, any B).
 
-    Returns (codes [1, NCB] int32, emb_sum [1, H] f32) — emb_sum is the sum
+    All B sequences run the 16-position inner loop in ONE kernel call:
+    matvecs batch to [B, H] and the flat-cache attention uses a
+    block-diagonal batch mask, so the VMEM-resident weights are read once
+    per frame for the whole batch.
+
+    Returns (codes [B, NCB] int32, emb_sum [B, H] f32) — emb_sum is the sum
     of the 15 sampled per-codebook embedding rows (cp.sum_codec_embeddings
     minus the talker codec embedding of code0, which the caller adds).
+    With ``return_logits``, adds logits [NCB, V] for B == 1 else [NCB, B, V].
     """
     from ..models.code_predictor import _embed
 
     talker_h = last_hidden.shape[-1]
-    s = _shapes(cp_cfg, talker_h)
+    B = last_hidden.shape[0]
+    s = _shapes(cp_cfg, talker_h, batch=B)
     code0_embed = _embed(talker_params["codec_embedding"], code0).astype(jnp.bfloat16)
-    x0 = jnp.concatenate(
-        [last_hidden.astype(jnp.bfloat16), code0_embed], axis=0
-    )  # [2, H]
+    x0 = jnp.stack(
+        [last_hidden.astype(jnp.bfloat16), code0_embed], axis=1
+    )  # [B, 2, H]
     if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
         kd = jax.random.key_data(key).reshape(-1)
     else:
@@ -528,5 +549,6 @@ def predict_codes_fused(
     )
     out = codes[:, : s["NCB"]]
     if return_logits:
-        return out, esum, logits[: s["NCB"]]
+        lg = logits[: s["NCB"]]
+        return out, esum, lg[:, 0] if B == 1 else lg
     return out, esum

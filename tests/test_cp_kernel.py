@@ -128,6 +128,43 @@ def test_greedy_teacher_forced(setup, mode, tol):
     np.testing.assert_allclose(np.asarray(esum)[0], per_cb, rtol=2e-2, atol=2e-2)
 
 
+def test_batched_matches_per_row(setup):
+    """B=3 greedy batched kernel == three independent B=1 kernel runs.
+
+    The batched path must be exactly block-diagonal: batched matvecs and
+    the flat-cache attention with the batch mask may not leak between
+    rows."""
+    cfg, cpp, talker_params, hidden, code0 = setup
+    B = 3
+    hiddenB = jnp.concatenate(
+        [hidden * s for s in (1.0, 0.7, 1.3)], axis=0
+    )  # [3, H]
+    code0B = jnp.array([17, 99, 5], jnp.int32)
+    codesB, esumB, logitsB = predict_codes_fused(
+        cpp, cfg, talker_params, hiddenB, code0B, jax.random.PRNGKey(5),
+        temperature=0.0, top_k=50, mode="wo_bf16", interpret=True,
+        return_logits=True,
+    )
+    assert codesB.shape == (B, cfg.num_code_groups - 1)
+    assert logitsB.shape == (cfg.num_code_groups - 1, B, cfg.vocab_size)
+    for b in range(B):
+        codes1, esum1, logits1 = predict_codes_fused(
+            cpp, cfg, talker_params, hiddenB[b : b + 1], code0B[b : b + 1],
+            jax.random.PRNGKey(5), temperature=0.0, top_k=50, mode="wo_bf16",
+            interpret=True, return_logits=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(codesB)[b], np.asarray(codes1)[0], err_msg=f"row {b}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(esumB)[b], np.asarray(esum1)[0], rtol=2e-2, atol=2e-2
+        )
+        lb = np.asarray(logitsB)[:, b]
+        l1 = np.asarray(logits1)
+        scale = np.std(l1, axis=-1, keepdims=True) + 1e-6
+        assert (np.abs(lb - l1) / scale).max() < 0.02, f"row {b}"
+
+
 def test_sampled_codes_in_topk(setup):
     cfg, cpp, talker_params, hidden, code0 = setup
     try:
