@@ -316,10 +316,10 @@ def forward(
                 mode=mode,
             )
             k_all = jax.lax.dynamic_update_slice(
-                cache.k, k_new[:, None, :, None, :], (0, 0, 0, offset, 0)
+                cache.k, k_new[:, :, :, None, :], (0, 0, 0, offset, 0)
             )
             v_all = jax.lax.dynamic_update_slice(
-                cache.v, v_new[:, None, :, None, :], (0, 0, 0, offset, 0)
+                cache.v, v_new[:, :, :, None, :], (0, 0, 0, offset, 0)
             )
             h = rms_norm(h, params["norm"], eps)
             return h, KVCache(k_all, v_all)
@@ -422,10 +422,10 @@ def forward_step_sample(
         seen=seen[None],
     )
     k_all = jax.lax.dynamic_update_slice(
-        cache.k, k_new[:, None, :, None, :], (0, 0, 0, offset, 0)
+        cache.k, k_new[:, :, :, None, :], (0, 0, 0, offset, 0)
     )
     v_all = jax.lax.dynamic_update_slice(
-        cache.v, v_new[:, None, :, None, :], (0, 0, 0, offset, 0)
+        cache.v, v_new[:, :, :, None, :], (0, 0, 0, offset, 0)
     )
     return h, KVCache(k_all, v_all), code0
 
@@ -451,6 +451,35 @@ def forward_batched_step(
     cos, sin = mrope_cos_sin(
         positions, cfg.head_dim, cfg.rope_theta, cfg.mrope_section, inputs_embeds.dtype
     )
+
+    import os
+
+    # Batched whole-step Pallas kernel: same grid program as the B=1 path
+    # with per-sequence offsets (ops/talker_kernel.py) — one weight stream
+    # serves the whole batch.
+    if (
+        T_max % 128 == 0
+        and jax.devices()[0].platform in ("tpu", "axon")
+        and not os.environ.get("QWEN3TTS_NO_TALKER_KERNEL")
+    ):
+        from ..ops.talker_kernel import _layout, step_supported, talker_decode_step
+
+        if step_supported(params, cfg, batch=B):
+            mode = "wo_bf16" if _layout(params["layers"]) == "int8" else "bf16"
+            h, k_new, v_new = talker_decode_step(
+                params, cfg, inputs_embeds, cache.k, cache.v, offsets, cos, sin,
+                mode=mode,
+            )
+            # per-sequence scatter append at each sequence's own offset
+            bb = jnp.arange(B)[None, :, None]
+            ll = jnp.arange(cfg.num_hidden_layers)[:, None, None]
+            hh = jnp.arange(cfg.num_key_value_heads)[None, None, :]
+            off_b = offsets[None, :, None]
+            k_all = cache.k.at[ll, bb, hh, off_b, :].set(k_new)
+            v_all = cache.v.at[ll, bb, hh, off_b, :].set(v_new)
+            h = rms_norm(h, params["norm"], cfg.rms_norm_eps)  # [B, 1, h]
+            return h, KVCache(k_all, v_all)
+
     t_idx = jnp.arange(T_max, dtype=jnp.int32)
     mask = t_idx[None, None, :] <= offsets[:, None, None]  # [B, 1, T]
 

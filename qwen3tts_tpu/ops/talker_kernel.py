@@ -25,8 +25,10 @@ Matmul modes (static, same semantics as ops/cp_kernel.py):
     numerically matches the XLA Int8Linear path).
   * "dyn_int8": per-matvec activation quant, s8 x s8 -> s32 MXU.
 
-Scope: B=1, S=1 decode with fused Int8Linear projections on TPU — the
-int8 serving hot path. Everything else stays on the XLA scan path
+Scope: S=1 decode with fused projections (Int8Linear or dense bf16) on
+TPU, any static batch B — single-stream serving (B=1, optional in-kernel
+codec-head sampling) and the lockstep batched decoder (per-sequence cache
+offsets, B>1). Everything else stays on the XLA scan path
 (models/talker.py:forward).
 """
 
@@ -51,10 +53,11 @@ def _talker_step_kernel(
     *refs,
 ):
     """Kernel body. ``refs`` layout (sampling refs only present when
-    ``sample`` is not None):
+    ``sample`` is not None; sampling requires B == 1):
 
       scalar prefetch:
-        pos_ref  SMEM [3] int32: [tokens in cache, seed0, seed1]
+        pos_ref  SMEM [B+1(+2)] int32: per-seq cache offsets, max offset,
+                 [seed0, seed1 — sampling only]
       blocked per-layer inputs (leading dim 1 = this grid step's layer):
         qkv_w, qkv_s   [1, H, NQD+2KVD] int8 / [1, 1, ...] f32
         o_w, o_s       [1, NQD, H]
@@ -63,27 +66,28 @@ def _talker_step_kernel(
         iln, pln       [1, 1, H] f32
         qn, kn         [1, 1, D] f32
       unblocked inputs:
-        cos, sin       [1, D] f32 (position pos)
-        x              [1, H] bf16 input embedding
+        cos, sin       [B, D] f32 (per-seq rope rows at its offset)
+        x              [B, H] bf16 input embeddings
+        offs           [B, 128] int32 (per-seq offset broadcast on lanes)
         [head_w        [H, V] int8      — sampling only]
         [head_s        [1, V] f32       — sampling only]
         [fnorm         [1, H] f32       — sampling only]
         [supp          [1, V] f32 additive mask — sampling only]
         [seen          [1, V] f32 1.0=seen — sampling only]
-        k_hbm, v_hbm   ANY [L, 1, Hkv, T, D] bf16 (rows 0..pos-1 valid)
+        k_hbm, v_hbm   ANY [L, B, Hkv, T, D] bf16 (b rows 0..offs[b]-1 valid)
       outputs:
-        h_out          [1, H] bf16 (pre final-norm; post-norm when sampling)
-        k_out, v_out   blocked [1, Hkv, D] bf16 per layer
+        h_out          [B, H] bf16 (pre final-norm; post-norm when sampling)
+        k_out, v_out   blocked [1, B, Hkv, D] bf16 per layer
         [code_out      [1, 128] int32, lane 0 = sampled code — sampling only]
       scratch:
-        h_scr VMEM [1, H] bf16, kbuf/vbuf VMEM [2, Hkv, block_t, D] bf16,
+        h_scr VMEM [B, H] bf16, kbuf/vbuf VMEM [2, B, Hkv, block_t, D] bf16,
         sems DMA (2, 2)
     """
     if sample is not None:
         (pos_ref,
          qkv_w_ref, qkv_s_ref, o_w_ref, o_s_ref, gu_w_ref, gu_s_ref,
          d_w_ref, d_s_ref, iln_ref, pln_ref, qn_ref, kn_ref,
-         cos_ref, sin_ref, x_ref,
+         cos_ref, sin_ref, x_ref, offs_ref,
          head_w_ref, head_s_ref, fnorm_ref, supp_ref, seen_ref,
          k_hbm, v_hbm,
          h_out_ref, k_out_ref, v_out_ref, code_out_ref,
@@ -92,26 +96,28 @@ def _talker_step_kernel(
         (pos_ref,
          qkv_w_ref, qkv_s_ref, o_w_ref, o_s_ref, gu_w_ref, gu_s_ref,
          d_w_ref, d_s_ref, iln_ref, pln_ref, qn_ref, kn_ref,
-         cos_ref, sin_ref, x_ref,
+         cos_ref, sin_ref, x_ref, offs_ref,
          k_hbm, v_hbm,
          h_out_ref, k_out_ref, v_out_ref,
          h_scr, kbuf, vbuf, sems) = refs
-    H, D, NQ, NKV, I = (shapes[k] for k in ("H", "D", "NQ", "NKV", "I"))
+    H, D, NQ, NKV, I, B = (
+        shapes[k] for k in ("H", "D", "NQ", "NKV", "I", "B")
+    )
     G = NQ // NKV
     scale = D**-0.5
     l = pl.program_id(0)
-    pos = pos_ref[0]
+    max_off = pos_ref[B]  # max over per-seq offsets
     T = k_hbm.shape[3]
-    n_valid = (pos + block_t - 1) // block_t  # prefix blocks (rows < pos)
+    n_valid = (max_off + block_t - 1) // block_t  # prefix blocks to stream
 
     def read(slot, blk):
         start = blk * block_t
         kd = pltpu.make_async_copy(
-            k_hbm.at[l, 0, :, pl.ds(start, block_t), :], kbuf.at[slot],
+            k_hbm.at[l, :, :, pl.ds(start, block_t), :], kbuf.at[slot],
             sems.at[slot, 0],
         )
         vd = pltpu.make_async_copy(
-            v_hbm.at[l, 0, :, pl.ds(start, block_t), :], vbuf.at[slot],
+            v_hbm.at[l, :, :, pl.ds(start, block_t), :], vbuf.at[slot],
             sems.at[slot, 1],
         )
         return kd, vd
@@ -155,30 +161,31 @@ def _talker_step_kernel(
             y = y * s_ref[0]
         return y.astype(jnp.bfloat16)
 
-    cos_row = cos_ref[...].astype(jnp.bfloat16)  # [1, D]
-    sin_row = sin_ref[...].astype(jnp.bfloat16)
+    cos_row = cos_ref[...].astype(jnp.bfloat16)[:, None]  # [B, 1, D]
+    sin_row = sin_ref[...].astype(jnp.bfloat16)[:, None]
 
-    def rope(x):
+    def rope(x):  # [B, Hh, D]
         half = D // 2
-        rot = jnp.concatenate([-x[:, half:], x[:, :half]], axis=-1)
+        rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
         return x * cos_row + rot * sin_row
 
     h = h_scr[...]
     xn = rms(h, iln_ref[0])
-    qkv = mv(xn, qkv_w_ref, qkv_s_ref)  # [1, NQD + 2 KVD]
-    q = qkv[:, : NQ * D].reshape(NQ, D)
-    k = qkv[:, NQ * D : (NQ + NKV) * D].reshape(NKV, D)
-    v = qkv[:, (NQ + NKV) * D :].reshape(NKV, D)
+    qkv = mv(xn, qkv_w_ref, qkv_s_ref)  # [B, NQD + 2 KVD]
+    q = qkv[:, : NQ * D].reshape(B, NQ, D)
+    k = qkv[:, NQ * D : (NQ + NKV) * D].reshape(B, NKV, D)
+    v = qkv[:, (NQ + NKV) * D :].reshape(B, NKV, D)
     q = rope(rms(q, qn_ref[0]))
     k = rope(rms(k, kn_ref[0]))
     k_out_ref[0] = k
     v_out_ref[0] = v
 
     # --- prefix-streaming flash attention + current-token virtual block ---
-    qg = (q.astype(jnp.float32) * scale).reshape(NKV, G, D)
-    m0 = jnp.full((NKV, G, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((NKV, G, 1), jnp.float32)
-    a0 = jnp.zeros((NKV, G, D), jnp.float32)
+    offs = offs_ref[:, :1].reshape(B, 1, 1, 1)  # per-seq valid length
+    qg = (q.astype(jnp.float32) * scale).reshape(B, NKV, G, D)
+    m0 = jnp.full((B, NKV, G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, NKV, G, 1), jnp.float32)
+    a0 = jnp.zeros((B, NKV, G, D), jnp.float32)
 
     def body(b, carry):
         m, s_l, acc = carry
@@ -193,39 +200,44 @@ def _talker_step_kernel(
         kd, vd = read(slot, b)
         kd.wait()
         vd.wait()
-        k_blk = kbuf[slot].astype(jnp.float32)  # [NKV, BT, D]
-        v_blk = vbuf[slot].astype(jnp.float32)
+        # Mosaic matmuls allow at most ONE batch dim — merge (B, NKV)
+        k_blk = kbuf[slot].astype(jnp.float32).reshape(B * NKV, block_t, D)
+        v_blk = vbuf[slot].astype(jnp.float32).reshape(B * NKV, block_t, D)
         s = jax.lax.dot_general(
-            qg, k_blk, (((2,), (2,)), ((0,), (0,))),
+            qg.reshape(B * NKV, G, D), k_blk,
+            (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [NKV, G, BT]
+        ).reshape(B, NKV, G, block_t)
         t_idx = b * block_t + jax.lax.broadcasted_iota(
-            jnp.int32, (NKV, G, block_t), 2
+            jnp.int32, (B, NKV, G, block_t), 3
         )
-        s = jnp.where(t_idx < pos, s, NEG_INF)
+        s = jnp.where(t_idx < offs, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         s_l = s_l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((2,), (1,)), ((0,), (0,))),
+            p.reshape(B * NKV, G, block_t), v_blk,
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        ).reshape(B, NKV, G, D)
         return m_new, s_l, acc
 
     m, s_l, acc = jax.lax.fori_loop(0, n_valid, body, (m0, l0, a0))
 
     # current token: score q . k_cur per kv head, fold into the softmax
     s_cur = jax.lax.dot_general(
-        qg, k.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        qg.reshape(B * NKV, G, D),
+        k.astype(jnp.float32).reshape(B * NKV, D),
+        (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).reshape(NKV, G, 1)
+    ).reshape(B, NKV, G, 1)
     m_f = jnp.maximum(m, s_cur)
     alpha = jnp.exp(m - m_f)
     p_cur = jnp.exp(s_cur - m_f)
     s_l = s_l * alpha + p_cur
-    acc = acc * alpha + p_cur * v.astype(jnp.float32)[:, None, :]
-    attn = (acc / s_l).astype(jnp.bfloat16).reshape(1, NQ * D)
+    acc = acc * alpha + p_cur * v.astype(jnp.float32)[:, :, None, :]
+    attn = (acc / s_l).astype(jnp.bfloat16).reshape(B, NQ * D)
 
     h = h + mv(attn, o_w_ref, o_s_ref)
     xn = rms(h, pln_ref[0])
@@ -306,7 +318,7 @@ def _talker_step_kernel(
                     z = jnp.where(z >= lo, z, NEG_INF)
                 if eos_id >= 0:
                     z = jnp.where(lane_v == eos_id, eos_logit, z)
-                pltpu.prng_seed(pos_ref[1], pos_ref[2])
+                pltpu.prng_seed(pos_ref[B + 1], pos_ref[B + 2])
                 bits = pltpu.prng_random_bits((1, V))
                 b24 = pltpu.bitcast(bits, jnp.int32) & jnp.int32(0xFFFFFF)
                 u_ = b24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
@@ -359,7 +371,7 @@ def _wq(w):
     return w, jnp.ones((w.shape[0], 1, w.shape[-1]), jnp.float32)
 
 
-def step_supported(params, cfg) -> bool:
+def step_supported(params, cfg, batch: int = 1) -> bool:
     """Fused projection layout (Int8Linear serving or dense bf16),
     128-aligned dims, double-buffered weights fit VMEM."""
     layers = params["layers"]
@@ -376,17 +388,17 @@ def step_supported(params, cfg) -> bool:
     per_layer = (
         H * (NQ + 2 * NKV) * D + NQ * D * H + H * 2 * I + I * H
     ) * itemsize
-    kv_bufs = 4 * NKV * 512 * D * 2
+    kv_bufs = 4 * batch * NKV * 512 * D * 2
     return 2 * per_layer + kv_bufs < 112 * 2**20
 
 
 def talker_decode_step(
     params,
     cfg,
-    x,  # [1, 1, H] bf16 input embedding
-    k_cache, v_cache,  # [L, 1, Hkv, T, D] bf16 (rows 0..pos-1 valid)
-    pos,  # scalar int32
-    cos, sin,  # [1, 1, D] rope rows for position pos
+    x,  # [B, 1, H] bf16 input embeddings
+    k_cache, v_cache,  # [L, B, Hkv, T, D] bf16 (b rows 0..pos[b]-1 valid)
+    pos,  # scalar or [B] int32 per-sequence cache offsets
+    cos, sin,  # [B, 1, D] per-sequence rope rows at each offset
     *,
     mode: str = "wo_bf16",
     interpret: bool = False,
@@ -395,20 +407,26 @@ def talker_decode_step(
     suppress_add=None,  # [1, V] f32 additive mask (sampling only)
     seen=None,  # [1, V] f32, 1.0 = seen (sampling only)
 ):
-    """One fused decode step.
+    """One fused decode step (any static batch).
 
-    Without ``sample``: returns (h [1, 1, H] pre-final-norm, k_new
-    [L, Hkv, D], v_new [L, Hkv, D]).
-    With ``sample`` (dict: temperature/top_k/rep_penalty/eos_id): also runs
-    final-norm + codec head + the code0 sampler in-kernel and returns
-    (h [1, 1, H] POST-norm, k_new, v_new, code0 [1] int32).
+    Without ``sample``: returns (h [B, 1, H] pre-final-norm, k_new
+    [L, B, Hkv, D], v_new [L, B, Hkv, D]).
+    With ``sample`` (dict: temperature/top_k/rep_penalty/eos_id; B must be
+    1): also runs final-norm + codec head + the code0 sampler in-kernel
+    and returns (h [1, 1, H] POST-norm, k_new, v_new, code0 [1] int32).
     """
+    B = x.shape[0]
     s = _shapes(cfg)
+    s["B"] = B
     L, H, D, NKV, NQ, I = s["L"], s["H"], s["D"], s["NKV"], s["NQ"], s["I"]
+    assert sample is None or B == 1, "in-kernel sampling is single-sequence"
     T = k_cache.shape[3]
     block_t = 512 if T % 512 == 0 else 128
     assert T % block_t == 0, f"cache length {T} not a multiple of {block_t}"
     layers = params["layers"]
+    offs_arr = jnp.broadcast_to(
+        jnp.asarray(pos, jnp.int32).reshape(-1), (B,)
+    )
 
     def nrm(w):  # [L, C] -> [L, 1, C] f32
         return w.astype(jnp.float32)[:, None, :]
@@ -430,8 +448,9 @@ def talker_decode_step(
         blk((1, I, H)), blk((1, 1, H)),
         blk((1, 1, H)), blk((1, 1, H)),
         blk((1, 1, D)), blk((1, 1, D)),
-        const((1, D)), const((1, D)),
-        const((1, H)),
+        const((B, D)), const((B, D)),
+        const((B, H)),
+        const((B, 128)),
     ]
     operands = [
         qkv_w, qkv_s,
@@ -442,17 +461,22 @@ def talker_decode_step(
         nrm(layers["post_attention_layernorm"]),
         nrm(layers["q_norm"]),
         nrm(layers["k_norm"]),
-        cos[0].astype(jnp.float32),
-        sin[0].astype(jnp.float32),
+        cos[:, 0].astype(jnp.float32),
+        sin[:, 0].astype(jnp.float32),
         x[:, 0].astype(jnp.bfloat16),
+        jnp.broadcast_to(offs_arr[:, None], (B, 128)),
     ]
-    out_specs = [const((1, H)), blk((1, NKV, D)), blk((1, NKV, D))]
+    out_specs = [
+        const((B, H)),
+        blk((1, B, NKV, D)),
+        blk((1, B, NKV, D)),
+    ]
     out_shape = [
-        jax.ShapeDtypeStruct((1, H), jnp.bfloat16),
-        jax.ShapeDtypeStruct((L, NKV, D), jnp.bfloat16),
-        jax.ShapeDtypeStruct((L, NKV, D), jnp.bfloat16),
+        jax.ShapeDtypeStruct((B, H), jnp.bfloat16),
+        jax.ShapeDtypeStruct((L, B, NKV, D), jnp.bfloat16),
+        jax.ShapeDtypeStruct((L, B, NKV, D), jnp.bfloat16),
     ]
-    scalars = [jnp.asarray(pos, jnp.int32)[None]]
+    scalars = [jnp.concatenate([offs_arr, jnp.max(offs_arr)[None]])]
     if sample is not None:
         from .quant import Int8Linear
 
@@ -475,11 +499,7 @@ def talker_decode_step(
         ]
         out_specs.append(const((1, 128)))
         out_shape.append(jax.ShapeDtypeStruct((1, 128), jnp.int32))
-        scalars = [
-            jnp.concatenate(
-                [jnp.asarray(pos, jnp.int32)[None], seed.astype(jnp.int32)]
-            )
-        ]
+        scalars = [jnp.concatenate([scalars[0], seed.astype(jnp.int32)])]
 
     out = pl.pallas_call(
         kernel,
@@ -492,9 +512,9 @@ def talker_decode_step(
             ],
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((1, H), jnp.bfloat16),
-                pltpu.VMEM((2, NKV, block_t, D), jnp.bfloat16),
-                pltpu.VMEM((2, NKV, block_t, D), jnp.bfloat16),
+                pltpu.VMEM((B, H), jnp.bfloat16),
+                pltpu.VMEM((2, B, NKV, block_t, D), jnp.bfloat16),
+                pltpu.VMEM((2, B, NKV, block_t, D), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),

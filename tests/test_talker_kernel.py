@@ -76,7 +76,10 @@ def _run_both(cfg, params, pos, t_max, mode="wo_bf16"):
         np.asarray(cache_xla.k[:, 0, :, pos, :], np.float32),
         np.asarray(cache_xla.v[:, 0, :, pos, :], np.float32),
     )
-    kv_k = (np.asarray(k_new, np.float32), np.asarray(v_new, np.float32))
+    kv_k = (
+        np.asarray(k_new[:, 0], np.float32),
+        np.asarray(v_new[:, 0], np.float32),
+    )
     return (
         np.asarray(h_xla, np.float32),
         np.asarray(h_k, np.float32),
@@ -170,6 +173,42 @@ def _run_sample_mode(cfg, params, pos, t_max, temperature, seen_ids=(),
         seen=seen[None].astype(jnp.float32),
     )
     return h_k, code0, cache, x, seen, supp
+
+
+def test_batched_decode_step_parity(setup):
+    """B=2 kernel step with per-sequence offsets == XLA forward_batched_step."""
+    cfg, params = setup
+    H, B = cfg.hidden_size, 2
+    cache = tk.make_cache(cfg, B, 256, jnp.bfloat16)
+    pre = (
+        jax.random.normal(jax.random.PRNGKey(3), (B, 90, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+    _, cache = tk.forward(params, cfg, pre, cache, jnp.int32(0))
+    offsets = jnp.array([37, 90], jnp.int32)  # row 0 sees only its prefix
+    x = (
+        jax.random.normal(jax.random.PRNGKey(5), (B, 1, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+
+    h_x, cache_x = tk.forward_batched_step(params, cfg, x, cache, offsets)
+
+    cos, sin = mrope_cos_sin(
+        offsets[:, None], cfg.head_dim, cfg.rope_theta, cfg.mrope_section,
+        jnp.bfloat16,
+    )
+    h_k, k_new, v_new = talker_decode_step(
+        params, cfg, x, cache.k, cache.v, offsets, cos, sin, interpret=True
+    )
+    h_k = rms_norm(h_k, params["norm"], cfg.rms_norm_eps)
+
+    hx = np.asarray(h_x, np.float32)
+    hk = np.asarray(h_k, np.float32)
+    rel = np.abs(hk - hx).max() / (np.abs(hx).mean() + 1e-6)
+    assert rel < 0.15, f"batched hidden mismatch: scaled {rel:.4f}"
+    for b in range(B):
+        kx = np.asarray(cache_x.k[:, b, :, int(offsets[b]), :], np.float32)
+        kk = np.asarray(k_new[:, b], np.float32)
+        d = np.abs(kk - kx).max() / (np.abs(kx).mean() + 1e-6)
+        assert d < 0.1, f"k row mismatch seq {b}: scaled {d:.4f}"
 
 
 def test_sample_mode_greedy_matches_xla(setup):

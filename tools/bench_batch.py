@@ -47,8 +47,10 @@ def main():
     tp = hi.to_device(hi.host_init_talker_params(0, cfg), jnp.bfloat16)
     cpp = hi.to_device(hi.host_init_cp_params(1, cpc, h), jnp.bfloat16)
     if not bf16:
-        # batch talker stays UNFUSED (XLA batched step; fusion loses there)
-        # but the CP fuses for its kernel — mirror serving layouts
+        # both fused: the batched talker megakernel and the batched CP
+        # kernel need the fused serving layout (mirrors from_pretrained)
+        tp = dict(tp)
+        tp["layers"] = tk.fuse_layer_projections(tp["layers"])
         cpp = dict(cpp)
         cpp["layers"] = tk.fuse_layer_projections(cpp["layers"])
         tp = quantize_decode_params_int8(tp, "codec_head")
