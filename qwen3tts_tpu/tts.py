@@ -1266,6 +1266,35 @@ class Qwen3TTSModel:
             a if o.n_frames else a[:0] for a, o in zip(audio, outs)
         ]
 
+    def serve(
+        self,
+        slots: int = 4,
+        chunk_frames: int | None = None,
+        max_frames: int = 256,
+        prompt_bucket: int = 256,
+        trailing_bucket: int = 64,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        repetition_penalty: float = 1.05,
+    ) -> "TTSService":
+        """Create a long-lived synthesis service over this model.
+
+        Returns a :class:`TTSService` whose thread-safe ``submit(text, ...)``
+        returns a Future resolving to the waveform. Requests are
+        continuously batched over ``slots`` KV-cache slots
+        (serving.Qwen3TTSServer): admissions between decode chunks, one set
+        of compiled programs for the life of the service."""
+        return TTSService(
+            self,
+            slots=slots,
+            chunk_frames=chunk_frames or self.stream_chunk_frames,
+            max_frames=max_frames,
+            prompt_bucket=prompt_bucket,
+            trailing_bucket=trailing_bucket,
+            sampling=self._sampling(temperature, top_k, top_p, repetition_penalty),
+        )
+
     def generate_stream(
         self,
         text: str,
@@ -1350,3 +1379,91 @@ class Qwen3TTSModel:
             self.config.speaker_encoder_config,
             jnp.asarray(np.asarray(audio, np.float32)),
         )
+
+
+class TTSService:
+    """Long-lived synthesis service: text in, Future[waveform] out.
+
+    Thin model-aware layer over :class:`serving.Qwen3TTSServer`: builds the
+    per-request prompt tensors (same mode rules as ``generate``), enqueues
+    them for continuous batching, and vocodes harvested codes in the
+    completion callback. Create via ``Qwen3TTSModel.serve()``; use as a
+    context manager or call ``close()``.
+    """
+
+    def __init__(
+        self, model: Qwen3TTSModel, *, slots, chunk_frames, max_frames,
+        prompt_bucket, trailing_bucket, sampling,
+    ):
+        self._model = model
+        self._kw = dict(
+            slots=slots, chunk_frames=chunk_frames, max_frames=max_frames,
+            prompt_bucket=prompt_bucket, trailing_bucket=trailing_bucket,
+        )
+        self._sampling = sampling
+        self._server = None  # created on first submit (needs a pad embed)
+
+    def submit(
+        self,
+        text: str,
+        speaker: str | None = None,
+        instruct: str | None = None,
+        language: str = "auto",
+        seed: int = 0,
+        max_tokens: int = 2048,
+    ):
+        """Enqueue one synthesis request; returns Future[np.ndarray]."""
+        from concurrent.futures import Future
+
+        from .serving import BatchItem, Qwen3TTSServer
+
+        m = self._model
+        (embeds, trailing, pad), = m._build_batch_inputs(
+            [text], [speaker], [instruct], language
+        )
+        if self._server is None:
+            self._server = Qwen3TTSServer(
+                m.talker_params,
+                m.cp_params,
+                talker_cfg=m.talker_cfg,
+                cp_cfg=m.cp_cfg,
+                sampling=self._sampling,
+                tts_pad_embed=pad,
+                dtype=m.dtype,
+                mesh=m.mesh,
+                **self._kw,
+            )
+        cap = m._effective_max_tokens(text, max_tokens)
+        inner = self._server.submit(
+            BatchItem(
+                prefill_embeds=embeds, trailing=trailing,
+                max_steps=cap, seed=seed,
+            )
+        )
+        outer: Future = Future()
+
+        def _vocode(f):
+            if not outer.set_running_or_notify_cancel():
+                return
+            try:
+                out = f.result()
+                if out.n_frames == 0:
+                    outer.set_result(np.zeros((0,), np.float32))
+                else:
+                    wav = m._decode_audio_list([out.codes], [out.n_frames])[0]
+                    outer.set_result(np.asarray(wav, np.float32))
+            except BaseException as ex:  # propagate to the caller
+                outer.set_exception(ex)
+
+        inner.add_done_callback(_vocode)
+        return outer
+
+    def close(self, wait: bool = True):
+        if self._server is not None:
+            self._server.close(wait=wait)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -13,19 +13,22 @@ import struct
 import numpy as np
 
 
-def save_wav(path: str, samples: np.ndarray, sample_rate: int = 24000) -> None:
-    """Write mono float32 samples in [-1, 1] as 16-bit PCM RIFF."""
+def wav_bytes(samples: np.ndarray, sample_rate: int = 24000) -> bytes:
+    """Mono float32 samples in [-1, 1] -> 16-bit PCM RIFF bytes."""
     samples = np.asarray(samples, dtype=np.float32).reshape(-1)
     pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def save_wav(path: str, samples: np.ndarray, sample_rate: int = 24000) -> None:
+    """Write mono float32 samples in [-1, 1] as 16-bit PCM RIFF."""
     with open(path, "wb") as f:
-        f.write(b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE")
-        f.write(
-            b"fmt "
-            + struct.pack(
-                "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
-            )
-        )
-        f.write(b"data" + struct.pack("<I", len(pcm)) + pcm)
+        f.write(wav_bytes(samples, sample_rate))
 
 
 def load_wav(path: str) -> tuple[int, np.ndarray]:
