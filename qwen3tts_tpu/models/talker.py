@@ -258,6 +258,19 @@ def _attend(q, k, v, mask, scale):
     return out.reshape(B, Hq, S, D).astype(q.dtype)
 
 
+def _kernel_mode(params) -> str:
+    """Matmul mode for the whole-step kernel: layout-driven, with
+    QWEN3TTS_TK_MODE=dyn_int8 opting the int8 layout into s8xs8 MXU
+    matvecs (dynamic per-step activation quantization)."""
+    import os
+
+    from ..ops.talker_kernel import _layout
+
+    if _layout(params["layers"]) != "int8":
+        return "bf16"
+    return os.environ.get("QWEN3TTS_TK_MODE", "wo_bf16")
+
+
 def forward(
     params: Params,
     cfg: TalkerConfig,
@@ -310,7 +323,7 @@ def forward(
         from ..ops.talker_kernel import _layout, step_supported, talker_decode_step
 
         if step_supported(params, cfg):
-            mode = "wo_bf16" if _layout(params["layers"]) == "int8" else "bf16"
+            mode = _kernel_mode(params)
             h, k_new, v_new = talker_decode_step(
                 params, cfg, inputs_embeds, cache.k, cache.v, offset, cos, sin,
                 mode=mode,
@@ -410,7 +423,7 @@ def forward_step_sample(
     )
     h, k_new, v_new, code0 = talker_decode_step(
         params, cfg, inputs_embeds, cache.k, cache.v, offset, cos, sin,
-        mode="wo_bf16" if _layout(params["layers"]) == "int8" else "bf16",
+        mode=_kernel_mode(params),
         sample=dict(
             temperature=float(temperature),
             top_k=int(top_k),
@@ -465,7 +478,7 @@ def forward_batched_step(
         from ..ops.talker_kernel import _layout, step_supported, talker_decode_step
 
         if step_supported(params, cfg, batch=B):
-            mode = "wo_bf16" if _layout(params["layers"]) == "int8" else "bf16"
+            mode = _kernel_mode(params)
             h, k_new, v_new = talker_decode_step(
                 params, cfg, inputs_embeds, cache.k, cache.v, offsets, cos, sin,
                 mode=mode,

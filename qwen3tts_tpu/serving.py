@@ -291,6 +291,7 @@ class Qwen3TTSServer:
 
         self._lock = threading.Condition()
         self._queue: list = []  # [(BatchItem, Future)]
+        self._failable: list = []  # in-flight slot futures (worker-owned)
         self._stop = False
         self._thread = threading.Thread(
             target=self._worker, name="qwen3tts-server", daemon=True
@@ -369,6 +370,19 @@ class Qwen3TTSServer:
         )
 
     def _worker(self):
+        try:
+            self._worker_loop()
+        except BaseException as ex:  # fail pending work loudly, then stop
+            with self._lock:
+                self._stop = True
+                pending = [f for _, f in self._queue]
+                self._queue = []
+            for f in pending + [f for f in self._failable if f is not None]:
+                if f.set_running_or_notify_cancel():
+                    f.set_exception(ex)
+            raise
+
+    def _worker_loop(self):
         B = self.slots
         common = dict(
             talker_cfg=self.talker_cfg, cp_cfg=self.cp_cfg, sampling=self.sampling
@@ -378,7 +392,8 @@ class Qwen3TTSServer:
             (B, self.trailing_bucket, self.talker_cfg.hidden_size), self.dtype
         )
         trail_lens = np.zeros((B,), np.int32)
-        slot_fut = [None] * B  # slot -> pending Future
+        # slot -> pending Future (also visible to _worker's failure path)
+        self._failable = slot_fut = [None] * B
         slot_caps = np.zeros((B,), np.int32)
 
         def harvest(s, carry):
@@ -414,6 +429,8 @@ class Qwen3TTSServer:
                 if s is None:
                     overflow.append((item, fut))
                     continue
+                slot_fut[s] = fut  # before the device call: a crash inside
+                # admit must reach this future via _worker's failure path
                 e = item.prefill_embeds.astype(self.dtype)
                 e = jnp.pad(
                     e, ((0, 0), (0, self.prompt_bucket - e.shape[1]), (0, 0))
@@ -435,7 +452,6 @@ class Qwen3TTSServer:
                         tts_pad_embed=self.tts_pad,
                         key=jax.random.PRNGKey(item.seed),
                     )
-                slot_fut[s] = fut
                 slot_caps[s] = min(item.max_steps, self.max_frames)
                 trail_lens[s] = item.trailing.shape[0]
                 if bool(np.asarray(carry.done)[s]):  # EOS on the first frame

@@ -265,3 +265,17 @@ class TestServer:
         srv.close()
         with _pytest.raises(RuntimeError):
             srv.submit(self._item(2, 5, 3))
+
+    def test_worker_failure_propagates(self, params, monkeypatch):
+        """A crash in the device loop must fail pending futures, not hang."""
+        import qwen3tts_tpu.models.batch_generate as bg_mod
+
+        def boom(*a, **k):
+            raise RuntimeError("injected device failure")
+
+        monkeypatch.setattr(bg_mod, "admit_slot", boom)
+        srv = self._server(params)
+        fut = srv.submit(self._item(0, 6, 4))
+        with pytest.raises(RuntimeError, match="injected device failure"):
+            fut.result(timeout=120)
+        srv.close(wait=False)
