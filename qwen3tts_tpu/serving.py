@@ -292,6 +292,7 @@ class Qwen3TTSServer:
         self._lock = threading.Condition()
         self._queue: list = []  # [(BatchItem, Future)]
         self._failable: list = []  # in-flight slot futures (worker-owned)
+        self._draining: list = []  # drained-but-unadmitted (item, Future)
         self._stop = False
         self._thread = threading.Thread(
             target=self._worker, name="qwen3tts-server", daemon=True
@@ -377,7 +378,15 @@ class Qwen3TTSServer:
                 self._stop = True
                 pending = [f for _, f in self._queue]
                 self._queue = []
+            # every future the worker has seen: still-queued, drained but
+            # not yet admitted (self._draining), and in-flight slot futures
+            pending += [f for _, f in self._draining]
+            self._draining = []
+            seen_ids = set()
             for f in pending + [f for f in self._failable if f is not None]:
+                if id(f) in seen_ids or f.done():
+                    continue
+                seen_ids.add(id(f))
                 if f.set_running_or_notify_cancel():
                     f.set_exception(ex)
             raise
@@ -422,13 +431,15 @@ class Qwen3TTSServer:
                 pending = self._queue
                 self._queue = []
 
-            # admit into free slots; overflow goes back on the queue
-            overflow = []
-            for item, fut in pending:
+            # admit into free slots; items not yet admitted stay in
+            # self._draining so a crash inside admit still reaches their
+            # futures via _worker's failure path (leftovers are re-queued)
+            self._draining = pending
+            while self._draining:
                 s = next((i for i in range(B) if slot_fut[i] is None), None)
                 if s is None:
-                    overflow.append((item, fut))
-                    continue
+                    break  # no free slot: everything left is overflow
+                item, fut = self._draining.pop(0)
                 slot_fut[s] = fut  # before the device call: a crash inside
                 # admit must reach this future via _worker's failure path
                 e = item.prefill_embeds.astype(self.dtype)
@@ -456,9 +467,10 @@ class Qwen3TTSServer:
                 trail_lens[s] = item.trailing.shape[0]
                 if bool(np.asarray(carry.done)[s]):  # EOS on the first frame
                     harvest(s, carry)
-            if overflow:
+            if self._draining:
                 with self._lock:
-                    self._queue = overflow + self._queue
+                    self._queue = self._draining + self._queue
+                self._draining = []
 
             if all(f is None for f in slot_fut):
                 continue

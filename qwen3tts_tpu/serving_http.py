@@ -6,7 +6,11 @@ threads block on their request's Future and stream the WAV back.
 
   POST /synthesize   {"text": ..., "speaker"?: ..., "instruct"?: ...,
                       "language"?: "auto", "seed"?: 0, "max_tokens"?: 2048}
-                     -> 200 audio/wav | 400 {"error": ...}
+                     -> 200 audio/wav | 400 bad input | 500 server fault
+                        | 504 synthesis timeout
+  POST /synthesize_stream  same body (+"chunk_frames"?: 8)
+                     -> 200 audio/wav via chunked transfer: PCM streams
+                        out at time-to-first-audio (generate_stream_async)
   GET  /healthz      -> 200 {"ok": true, "requests": N}
 
 Run: ``python -m qwen3tts_tpu.serving_http --model <dir> [--port 8080]``
@@ -21,17 +25,30 @@ from __future__ import annotations
 import io
 import json
 import threading
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
-def make_server(service, host: str = "127.0.0.1", port: int = 8080):
-    """Build a ThreadingHTTPServer bound to ``service`` (tts.TTSService)."""
+def make_server(
+    service,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    result_timeout: float = 600.0,
+):
+    """Build a ThreadingHTTPServer bound to ``service`` (tts.TTSService).
+
+    ``result_timeout`` bounds how long one request's HTTP thread waits on
+    its synthesis Future; a stuck worker yields 504 instead of pinning the
+    thread forever. Validation errors are 400; internal faults are 500.
+    """
     from .utils.audio import wav_bytes
 
     stats = {"requests": 0}
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # chunked transfer for /synthesize_stream
+
         def log_message(self, *a):  # quiet by default
             pass
 
@@ -43,6 +60,57 @@ def make_server(service, host: str = "127.0.0.1", port: int = 8080):
             self.end_headers()
             self.wfile.write(body)
 
+        def _stream(self, req: dict, text: str):
+            """Chunked-transfer WAV: PCM flows while generation runs.
+
+            Uses the model's per-request streaming path
+            (``generate_stream_async`` + ``AudioChunkEvent``), so the first
+            audio bytes leave the socket at time-to-first-audio rather than
+            after the full utterance. The reference has no serving at all;
+            this mirrors what its streaming API enables in-process.
+            """
+            from .tts import AudioChunkEvent
+            from .utils.audio import pcm16_bytes, wav_stream_header
+
+            model = service.model
+            if model.vocoder_params is None:
+                return self._json(400, {"error": "speech tokenizer not loaded"})
+            try:
+                stream = model.generate_stream_async(
+                    text,
+                    speaker=req.get("speaker"),
+                    instruct=req.get("instruct"),
+                    language=req.get("language", "auto"),
+                    seed=int(req.get("seed", 0)),
+                    max_tokens=int(req.get("max_tokens", 2048)),
+                    audio_chunk_frames=int(req.get("chunk_frames", 8)),
+                )
+            except (ValueError, TypeError, KeyError) as e:
+                return self._json(400, {"error": f"bad request: {e}"})
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(b: bytes):
+                if b:
+                    self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
+                    self.wfile.flush()
+
+            try:
+                with stream:
+                    chunk(wav_stream_header())
+                    for ev in stream:
+                        if isinstance(ev, AudioChunkEvent):
+                            chunk(pcm16_bytes(ev.audio))
+                self.wfile.write(b"0\r\n\r\n")
+                with lock:
+                    stats["requests"] += 1
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away; AsyncEventStream.close() stops work
+            except Exception:
+                return  # mid-stream fault: truncated chunked body signals it
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"ok": True, "requests": stats["requests"]})
@@ -50,7 +118,7 @@ def make_server(service, host: str = "127.0.0.1", port: int = 8080):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/synthesize":
+            if self.path not in ("/synthesize", "/synthesize_stream"):
                 return self._json(404, {"error": "not found"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -58,6 +126,8 @@ def make_server(service, host: str = "127.0.0.1", port: int = 8080):
                 text = req["text"]
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": f"bad request: {e}"})
+            if self.path == "/synthesize_stream":
+                return self._stream(req, text)
             try:
                 fut = service.submit(
                     text,
@@ -67,9 +137,15 @@ def make_server(service, host: str = "127.0.0.1", port: int = 8080):
                     seed=int(req.get("seed", 0)),
                     max_tokens=int(req.get("max_tokens", 2048)),
                 )
-                audio = fut.result()
-            except Exception as e:
-                return self._json(400, {"error": str(e)})
+            except (ValueError, TypeError, KeyError) as e:
+                return self._json(400, {"error": f"bad request: {e}"})
+            try:
+                audio = fut.result(timeout=result_timeout)
+            except FuturesTimeout:
+                fut.cancel()
+                return self._json(504, {"error": "synthesis timed out"})
+            except Exception as e:  # internal worker/device fault
+                return self._json(500, {"error": str(e)})
             with lock:
                 stats["requests"] += 1
             body = wav_bytes(audio)

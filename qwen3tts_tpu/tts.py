@@ -746,6 +746,12 @@ class Qwen3TTSModel:
             jax.block_until_ready(carry.tokens)
         self._last_prefill_time = time.time() - t0
         chunk = self.stream_chunk_frames
+        # the first device chunk is just big enough to clear the vocoder
+        # lookahead plus the first audio emit — the host sees tokens (and
+        # can vocode first PCM) after ~12 frames instead of a full chunk
+        first_chunk = min(
+            chunk, self.STREAM_FIRST_AUDIO_FRAMES + self.STREAM_LOOKAHEAD_FRAMES
+        )
         emitted = 0
         while True:
             step = int(carry.step)
@@ -759,13 +765,14 @@ class Qwen3TTSModel:
             if done:
                 return
             # generate_chunk donates `carry`; everything needed was read above
+            cur = first_chunk if emitted <= first_chunk else chunk
             with self._mesh_scope():
                 carry = gen_mod.generate_chunk(
                     self.talker_params,
                     self.cp_params,
                     carry,
                     **chunk_args,
-                    until_step=jnp.int32(min(step + chunk, max_steps)),
+                    until_step=jnp.int32(min(step + cur, max_steps)),
                     **common,
                 )
 
@@ -1114,6 +1121,15 @@ class Qwen3TTSModel:
     # re-decoded per window (see _decode_audio_window)
     STREAM_LOOKAHEAD_FRAMES = 8
     STREAM_CTX_FRAMES = 32
+    # first PCM is emitted as soon as this many frames clear the lookahead
+    # (later chunks follow audio_chunk_frames); small on purpose — TTFA
+    STREAM_FIRST_AUDIO_FRAMES = 4
+    # small vocoder buckets for streaming windows: the first window is
+    # ~FIRST_AUDIO+LOOKAHEAD frames and steady-state windows are
+    # ~CTX+chunk+LOOKAHEAD, so padding to GEN_BUCKETS' 128 minimum would
+    # triple the first-chunk vocoder cost (measured: the 128-bucket window
+    # decode dominated round-2's 254 ms TTFA)
+    STREAM_BUCKETS = (16, 32, 64) + GEN_BUCKETS
 
     def _decode_audio_window(
         self, codes: np.ndarray, start_f: int, end_f: int, n_valid: int
@@ -1131,7 +1147,7 @@ class Qwen3TTSModel:
         dec_cfg = self.tokenizer_config.decoder_config
         s = max(0, start_f - self.STREAM_CTX_FRAMES)
         w = n_valid - s
-        bucket = pad_to_bucket(w, GEN_BUCKETS)
+        bucket = pad_to_bucket(w, self.STREAM_BUCKETS)
         buf = np.zeros((1, bucket, dec_cfg.num_quantizers), np.int32)
         buf[0, :w] = codes[s:n_valid]
         with self._mesh_scope():
@@ -1284,7 +1300,12 @@ class Qwen3TTSModel:
         returns a Future resolving to the waveform. Requests are
         continuously batched over ``slots`` KV-cache slots
         (serving.Qwen3TTSServer): admissions between decode chunks, one set
-        of compiled programs for the life of the service."""
+        of compiled programs for the life of the service.
+
+        ``max_frames`` caps every request's codec-frame count for the life
+        of the service (the compiled shapes depend on it): a request whose
+        own token cap exceeds it gets truncated audio, and ``submit`` warns
+        when that happens. Size it for the longest text you expect."""
         return TTSService(
             self,
             slots=slots,
@@ -1342,7 +1363,15 @@ class Qwen3TTSModel:
                 yield TokenEvent(t)
             if audio_chunk_frames and step > 0:
                 upto = step if done else max(step - self.STREAM_LOOKAHEAD_FRAMES, 0)
-                if upto - audio_emitted >= (1 if done else audio_chunk_frames):
+                if done:
+                    need = 1
+                elif audio_emitted == 0:
+                    # ramped first emit: a few frames of PCM leave as early
+                    # as possible (TTFA), then settle into the chunk cadence
+                    need = min(audio_chunk_frames, self.STREAM_FIRST_AUDIO_FRAMES)
+                else:
+                    need = audio_chunk_frames
+                if upto - audio_emitted >= need:
                     pcm = self._decode_audio_window(codes, audio_emitted, upto, step)
                     yield AudioChunkEvent(pcm, audio_emitted)
                     audio_emitted = upto
@@ -1360,6 +1389,21 @@ class Qwen3TTSModel:
             )
         )
         yield AudioEvent(self._decode_audio(codes_final, n_final))
+
+    def generate_stream_async(self, *args, **kwargs) -> "AsyncEventStream":
+        """Non-blocking streaming: generation runs on a background thread.
+
+        The reference's ``generateStream`` detaches generation onto its own
+        task and hands the caller an async stream
+        (Qwen3+Streaming.swift:19-28); the plain ``generate_stream`` here is
+        a synchronous generator — events only advance while the caller
+        iterates. This wrapper restores the reference's concurrency: a
+        daemon thread drives the generator and queues events, so they
+        accumulate while the caller does other work. Same arguments and
+        event sequence as ``generate_stream``. Call ``.close()`` (or use as
+        a context manager) to abandon a stream early.
+        """
+        return AsyncEventStream(self.generate_stream(*args, **kwargs))
 
     # ------------------------------------------------------------------
     # Speaker embedding extraction (reference Qwen3.swift:222-249)
@@ -1381,6 +1425,70 @@ class Qwen3TTSModel:
         )
 
 
+class AsyncEventStream:
+    """Iterator over events produced by a background generation thread.
+
+    Produced by :meth:`Qwen3TTSModel.generate_stream_async`. Events queue
+    up as the device produces them (unbounded queue — token events are a
+    few bytes and PCM chunks are bounded by utterance length), so the
+    consumer can lag or sleep without stalling generation. Exceptions from
+    the generation thread re-raise on the consumer at the point of
+    iteration. ``pending()`` reports how many events are queued.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, gen):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._exc: BaseException | None = None
+
+        def run():
+            try:
+                for ev in gen:
+                    if self._stop.is_set():
+                        break
+                    self._q.put(ev)
+            except BaseException as ex:  # re-raised on the consumer side
+                self._exc = ex
+            finally:
+                self._q.put(self._SENTINEL)
+
+        self._thread = threading.Thread(
+            target=run, name="qwen3tts-stream", daemon=True
+        )
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        ev = self._q.get()
+        if ev is self._SENTINEL:
+            self._thread.join()
+            if self._exc is not None:
+                raise self._exc
+            raise StopIteration
+        return ev
+
+    def pending(self) -> int:
+        """Events already produced but not yet consumed."""
+        return self._q.qsize()
+
+    def close(self):
+        """Stop consuming; the producer thread exits after its next event."""
+        self._stop.set()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class TTSService:
     """Long-lived synthesis service: text in, Future[waveform] out.
 
@@ -1400,8 +1508,16 @@ class TTSService:
             slots=slots, chunk_frames=chunk_frames, max_frames=max_frames,
             prompt_bucket=prompt_bucket, trailing_bucket=trailing_bucket,
         )
+        import threading
+
         self._sampling = sampling
         self._server = None  # created on first submit (needs a pad embed)
+        self._server_lock = threading.Lock()
+
+    @property
+    def model(self) -> Qwen3TTSModel:
+        """The underlying model (e.g. for per-request streaming paths)."""
+        return self._model
 
     def submit(
         self,
@@ -1422,18 +1538,33 @@ class TTSService:
             [text], [speaker], [instruct], language
         )
         if self._server is None:
-            self._server = Qwen3TTSServer(
-                m.talker_params,
-                m.cp_params,
-                talker_cfg=m.talker_cfg,
-                cp_cfg=m.cp_cfg,
-                sampling=self._sampling,
-                tts_pad_embed=pad,
-                dtype=m.dtype,
-                mesh=m.mesh,
-                **self._kw,
-            )
+            # double-checked: submit() is called from ThreadingHTTPServer
+            # threads, and two concurrent first submits must not construct
+            # two servers (each owns device KV caches + a worker thread)
+            with self._server_lock:
+                if self._server is None:
+                    self._server = Qwen3TTSServer(
+                        m.talker_params,
+                        m.cp_params,
+                        talker_cfg=m.talker_cfg,
+                        cp_cfg=m.cp_cfg,
+                        sampling=self._sampling,
+                        tts_pad_embed=pad,
+                        dtype=m.dtype,
+                        mesh=m.mesh,
+                        **self._kw,
+                    )
         cap = m._effective_max_tokens(text, max_tokens)
+        if cap > self._kw["max_frames"]:
+            import warnings
+
+            warnings.warn(
+                f"request would allow {cap} frames but the service was "
+                f"created with max_frames={self._kw['max_frames']}; long "
+                "texts will be truncated to that many codec frames. Create "
+                "the service with a larger max_frames to avoid this.",
+                stacklevel=2,
+            )
         inner = self._server.submit(
             BatchItem(
                 prefill_embeds=embeds, trailing=trailing,
