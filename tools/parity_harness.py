@@ -67,6 +67,40 @@ def _stats(x: np.ndarray) -> dict:
     }
 
 
+# our stage key -> the reference golden test's section header + value name
+# (Qwen3TTSTests.swift print statements; comparison is a textual diff)
+_GOLDEN_SECTIONS = [
+    ("quantizer", "After quantizer.decode", "quantized"),
+    ("pre_conv", "After pre_conv", "pre_conv"),
+    ("pre_transformer", "After pre_transformer", "transformer"),
+    ("upsample0", "After upsample block 0", "stats"),
+    ("upsample1", "After upsample block 1", "stats"),
+    ("decoder", "After main decoder", "stats"),
+    ("audio", "Final audio", "stats"),
+]
+
+
+def _print_golden_format(stages: dict) -> None:
+    """Emit stage stats in the reference golden test's exact print format
+    (Qwen3TTSTests.swift:70-253), so the day real weights land the diff
+    against the Swift/Python comment blocks is a line-by-line eyeball:
+
+        === After quantizer.decode ===
+        quantized stats: min=-81.5562, max=56.5420, mean=..., std=12.8890
+    """
+    print("\n---- reference golden-test format ----")
+    for key, header, label in _GOLDEN_SECTIONS:
+        if key not in stages:
+            continue
+        s = stages[key]
+        print(f"=== {header} ===")
+        print(f"{label} shape: {s['shape']}")
+        print(
+            f"{label} stats: min={s['min']:.4f}, max={s['max']:.4f}, "
+            f"mean={s['mean']:.6f}, std={s['std']:.4f}"
+        )
+
+
 def run(args) -> int:
     import jax
 
@@ -102,6 +136,7 @@ def run(args) -> int:
     for name, val in stages.items():
         report["stages"][name] = _stats(np.asarray(val))
         print(f"stage {name:16s} {report['stages'][name]}")
+    _print_golden_format(report["stages"])
     np.save(os.path.join(args.out, "golden_audio.npy"), np.asarray(stages["audio"][0]))
 
     # 2+3. greedy generation: deterministic token sequence + waveform
