@@ -25,6 +25,27 @@ def wav_bytes(samples: np.ndarray, sample_rate: int = 24000) -> bytes:
     )
 
 
+def wav_stream_header(sample_rate: int = 24000) -> bytes:
+    """RIFF header for a 16-bit mono PCM stream of unknown length.
+
+    Chunk sizes are 0xFFFFFFFF (the conventional "open-ended" marker for
+    live streams); append raw PCM16 frames after it. Players and browsers
+    accept this for progressive playback; re-mux for archival use.
+    """
+    return (
+        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+    )
+
+
+def pcm16_bytes(samples: np.ndarray) -> bytes:
+    """Mono float32 samples in [-1, 1] -> raw little-endian PCM16 bytes."""
+    samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+    return (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+
 def save_wav(path: str, samples: np.ndarray, sample_rate: int = 24000) -> None:
     """Write mono float32 samples in [-1, 1] as 16-bit PCM RIFF."""
     with open(path, "wb") as f:

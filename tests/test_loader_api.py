@@ -291,3 +291,32 @@ def test_generate_batch_continuous_public(model):
     for a in outs:
         assert a.ndim == 1 and np.isfinite(a).all()
     assert any(a.shape[0] > 0 for a in outs)
+
+    def test_stream_async_produces_while_caller_sleeps(self, model):
+        """generate_stream_async events accumulate WITHOUT the caller
+        iterating — generation runs on its own thread (reference
+        Qwen3+Streaming.swift:19-28 detached-task semantics)."""
+        import time
+
+        stream = model.generate_stream_async(
+            "Async stream check", speaker="Aiden", max_tokens=6, seed=2
+        )
+        with stream:
+            deadline = time.time() + 120
+            while stream.pending() == 0 and time.time() < deadline:
+                time.sleep(0.05)  # the caller does no iteration here
+            assert stream.pending() > 0, "no events produced while caller slept"
+            events = list(stream)
+        kinds = [type(e).__name__ for e in events]
+        assert kinds[-2:] == ["InfoEvent", "AudioEvent"]
+        assert all(k == "TokenEvent" for k in kinds[:-2])
+
+    def test_stream_async_propagates_errors(self, model):
+        from qwen3tts_tpu.tts import AsyncEventStream
+
+        def boom():
+            raise Qwen3TTSError("boom")
+            yield  # pragma: no cover — makes this a generator
+
+        with pytest.raises(Qwen3TTSError, match="boom"):
+            list(AsyncEventStream(boom()))

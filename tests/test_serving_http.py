@@ -85,3 +85,42 @@ def test_http_server(model):
             assert ei.value.code == 400
         finally:
             srv.shutdown()
+
+
+def test_http_stream_endpoint(model):
+    """POST /synthesize_stream returns chunked WAV whose PCM concatenates
+    to the full utterance (header + PCM16 frames via AudioChunkEvent)."""
+    import http.client
+
+    from qwen3tts_tpu.serving_http import make_server
+
+    with model.serve(
+        slots=1, chunk_frames=3, max_frames=16,
+        prompt_bucket=64, trailing_bucket=16,
+    ) as svc:
+        srv = make_server(svc, "127.0.0.1", 0)
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request(
+                "POST",
+                "/synthesize_stream",
+                body=json.dumps(
+                    {"text": "Chunked stream", "speaker": "Aiden",
+                     "max_tokens": 8, "chunk_frames": 2}
+                ),
+                headers={"Content-Type": "application/json"},
+            )
+            r = conn.getresponse()
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "audio/wav"
+            body = r.read()  # http.client decodes the chunked framing
+            conn.close()
+        finally:
+            srv.shutdown()
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    assert b"data" in body[:44]
+    pcm = np.frombuffer(body[44:], dtype="<i2")
+    assert pcm.size > 0 and pcm.size % 1920 == 0  # whole codec frames
