@@ -134,7 +134,14 @@ def _generate_and_decode(
     """The whole utterance — prefill, AR decode loop, AND vocoder — as ONE
     device program: the host is not involved between token generation and
     audio synthesis (one dispatch per utterance instead of two; the decode
-    result never round-trips). Returns (codes, n_frames, wav, lengths)."""
+    result never round-trips). Returns (codes, n_frames, wav, lengths).
+
+    The vocoder stage runs through a ``lax.switch`` over GEN_BUCKETS
+    prefixes, decoding only the smallest bucket that covers ``n_frames``:
+    a short utterance under a paragraph-sized ``max_frames`` cap no longer
+    pays vocoder compute over the whole padded buffer (each branch zero-
+    pads its waveform to the full-cap length so shapes agree; everything
+    past ``n_frames * total_upsample`` is ignored by the caller anyway)."""
     res = gen_mod.generate_codes(
         talker_params,
         cp_params,
@@ -151,7 +158,28 @@ def _generate_and_decode(
         max_frames=max_frames,
         key=key,
     )
-    wav, lengths = vc_mod.decode(voc_params, dec_cfg, res.codes[None], res.n_frames)
+    buckets = [b for b in GEN_BUCKETS if b < max_frames] + [max_frames]
+    up = dec_cfg.total_upsample
+
+    def _branch(b):
+        def f(codes, n):
+            wav_b, len_b = vc_mod.decode(voc_params, dec_cfg, codes[:, :b], n)
+            pad = (max_frames - b) * up
+            if pad:
+                wav_b = jnp.pad(wav_b, ((0, 0), (0, pad)))
+            return wav_b, len_b
+
+        return f
+
+    if len(buckets) == 1:
+        wav, lengths = _branch(buckets[0])(res.codes[None], res.n_frames)
+    else:
+        idx = sum(
+            (res.n_frames > b).astype(jnp.int32) for b in buckets[:-1]
+        )
+        wav, lengths = jax.lax.switch(
+            idx, [_branch(b) for b in buckets], res.codes[None], res.n_frames
+        )
     return res.codes, res.n_frames, wav, lengths
 
 
@@ -667,10 +695,12 @@ class Qwen3TTSModel:
             self._profile_replay(input_embeds, trailing, tts_pad, codes, n)
         return codes, n
 
-    # fused gen+vocoder is used when the frame bucket stays modest: the
-    # vocoder runs over the full (masked) bucket, so a large cap with a
-    # short utterance would waste vocoder compute on padding
-    FUSED_AUDIO_MAX_FRAMES = 256
+    # fused gen+vocoder cap. Since round 3 the fused program decodes only
+    # the smallest GEN_BUCKET covering n_frames (lax.switch inside
+    # _generate_and_decode), so paragraph-length caps keep the one-dispatch
+    # path; the cap only bounds compile time (one vocoder branch per
+    # bucket) and the padded waveform buffer
+    FUSED_AUDIO_MAX_FRAMES = 1024
 
     def _run_generation_audio(
         self, input_embeds, trailing, tts_pad, *, sampling, max_steps, seed

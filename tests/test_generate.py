@@ -159,3 +159,63 @@ class TestGenerateLoop:
         assert gen.pad_to_bucket(64) == 64
         assert gen.pad_to_bucket(65) == 128
         assert gen.pad_to_bucket(3000) == 3072
+
+
+class TestFusedAudioBuckets:
+    """_generate_and_decode's lax.switch vocoder: decode only the smallest
+    GEN_BUCKET covering n_frames, padded to the full cap (round 3 lifted
+    FUSED_AUDIO_MAX_FRAMES by making the fused program bucket-aware)."""
+
+    def _vocoder(self):
+        from qwen3tts_tpu.config import TokenizerDecoderConfig
+        from qwen3tts_tpu.models import vocoder as vc
+
+        vcfg = TokenizerDecoderConfig(
+            latent_dim=32, codebook_dim=16, codebook_size=64, decoder_dim=64,
+            hidden_size=16, intermediate_size=32, num_hidden_layers=1,
+            num_attention_heads=2, num_key_value_heads=2, head_dim=8,
+            semantic_codebook_size=128,
+        )
+        vp = vc.init_vocoder_params(jax.random.PRNGKey(5), vcfg, jnp.float32)
+        return vp, vcfg
+
+    @pytest.mark.parametrize("max_steps,cap", [(5, 1024), (140, 1024)])
+    def test_fused_equals_split_at_large_cap(self, params, max_steps, cap):
+        from qwen3tts_tpu.models import vocoder as vc
+        from qwen3tts_tpu.tts import _generate_and_decode
+
+        talker, cpp = params
+        vp, vcfg = self._vocoder()
+        sampling = gen.SamplingConfig(0.9, 8, 1.0, 1.05, forbid_eos=True)
+        prefill = (
+            jax.random.normal(jax.random.PRNGKey(3), (1, 16, TINY_TALKER.hidden_size))
+            * 0.1
+        )
+        trailing = jnp.zeros((8, TINY_TALKER.hidden_size))
+        pad = jnp.zeros((TINY_TALKER.hidden_size,))
+        cache_len = -(-(16 + cap) // 128) * 128
+        codes, n, wav, lengths = _generate_and_decode(
+            talker, cpp, vp,
+            talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=sampling,
+            dec_cfg=vcfg, prefill_embeds=prefill, prefill_len=jnp.int32(12),
+            trailing_embeds=trailing, trailing_len=jnp.int32(4),
+            tts_pad_embed=pad,
+            cache=tk.make_cache(TINY_TALKER, 1, cache_len, jnp.float32),
+            max_steps=jnp.int32(max_steps), max_frames=cap,
+            key=jax.random.PRNGKey(7),
+        )
+        n = int(n)
+        assert n == max_steps  # forbid_eos: runs to the cap
+        up = vcfg.total_upsample
+        assert wav.shape == (1, cap * up)  # padded to the full cap
+
+        # split path: right-sized bucket decode of the same codes
+        bucket = gen.pad_to_bucket(n)
+        buf = jnp.zeros((1, bucket, TINY_CP.num_code_groups), jnp.int32)
+        buf = buf.at[0, :n].set(codes[:n])
+        wav_s, len_s = vc.decode(vp, vcfg, buf, jnp.int32(n))
+        np.testing.assert_allclose(
+            np.asarray(wav)[0, : n * up], np.asarray(wav_s)[0, : n * up],
+            rtol=1e-5, atol=1e-5,
+        )
+        assert int(lengths[0]) == int(len_s[0])
