@@ -341,6 +341,11 @@ def generate_chunk(
         _use_talker_sample_kernel(talker_params, talker_cfg, sampling)
         and carry.cache.k.shape[3] % 128 == 0
     )
+    # with BOTH samplers in-kernel (TPU core PRNG), per-frame key material
+    # is just two int32 words — derive them by counter mixing instead of
+    # two threefry splits per frame (tens of serial VPU ops inside the
+    # while_loop for nothing; the XLA fallback paths still need real keys)
+    cheap_seeds = use_tks and _use_cp_kernel(cp_params, cp_cfg, talker_cfg, sampling)
     if use_tks:
         supp = suppress_mask
         if sampling.forbid_eos:
@@ -354,11 +359,26 @@ def generate_chunk(
         if use_tks:
             # whole talker step + final norm + codec head + code0 sampler as
             # one Pallas program (ops/talker_kernel.py sample mode)
-            key, k_tok, k_cp = jax.random.split(c.key, 3)
+            if cheap_seeds:
+                sw = _seed_words(c.key)
+                st = c.step.astype(jnp.int32)
+                # distinct odd-constant streams per consumer per frame
+                seed_tok = jnp.stack(
+                    [sw[0] + st * jnp.int32(-1640531527),  # 0x9E3779B9
+                     sw[1] ^ (st * jnp.int32(-2048144789))]  # 0x85EBCA6B
+                )
+                k_cp = jnp.stack(
+                    [sw[0] ^ (st * jnp.int32(-1028477387)),  # 0xC2B2AE3D
+                     sw[1] + st * jnp.int32(668265263)]
+                )
+                key = c.key  # unsplit: kernels consume raw words only
+            else:
+                key, k_tok, k_cp = jax.random.split(c.key, 3)
+                seed_tok = _seed_words(k_tok)
             hidden_last, cache, code0 = tk.forward_step_sample(
                 talker_params, talker_cfg, c.cur_input, c.cache, c.offset,
                 seen=c.seen, suppress_add=suppress_add,
-                seed=_seed_words(k_tok),
+                seed=seed_tok,
                 temperature=sampling.temperature, top_k=sampling.top_k,
                 repetition_penalty=sampling.repetition_penalty,
                 eos_token_id=None if sampling.forbid_eos else eos_id,

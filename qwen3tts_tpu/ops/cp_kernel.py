@@ -54,6 +54,35 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def topk_threshold_1row(z, top_k: int, lo0=None):
+    """k-th-largest threshold for a single-row [1, V] logit tensor.
+
+    Parallel multi-threshold counting: 3 rounds of 256 candidate
+    thresholds, each round one [256, V] compare + row-reduce on the VPU.
+    Interval shrinks 256x per round, so the returned threshold is within
+    (max-min) * 2**-24 of the true k-th value — the same precision claim as
+    the 24-step scalar bisection it replaces, at ~33 vector ops instead of
+    ~144 sequential tiny ones (the bisection's fori_loop was the single
+    largest op count in the CP sampling tail; see VERDICT r2 item 1).
+
+    ``lo0`` optionally seeds the lower bound (e.g. smallest unsuppressed
+    logit when -1e30 masks are present). Filtering ``z >= thr`` keeps at
+    least ``top_k`` entries.
+    """
+    NT = 256
+    hi = jnp.max(z, axis=-1, keepdims=True)  # [1, 1]
+    lo = jnp.min(z, axis=-1, keepdims=True) if lo0 is None else lo0
+    tidx = jax.lax.broadcasted_iota(jnp.int32, (NT, 1), 0).astype(jnp.float32)
+    for _ in range(3):
+        step = (hi - lo) * (1.0 / NT)
+        thr = lo + (tidx + 1.0) * step  # [NT, 1]
+        cnt = jnp.sum((z >= thr).astype(jnp.float32), axis=-1, keepdims=True)
+        ok = cnt >= top_k  # monotone: True for small thr, False past k-th
+        lo = jnp.max(jnp.where(ok, thr, lo), axis=0, keepdims=True)
+        hi = lo + step
+    return lo
+
+
 def _cp_kernel(
     # static
     shapes: dict,
@@ -84,7 +113,8 @@ def _cp_kernel(
         codes      VMEM [B, 128] int32 (lanes 0..14 = codes)
         esum       VMEM [B, H] f32;  logits VMEM [16, B, V] f32
       scratch:
-        kf/vf      VMEM [L, B*NKV*SLOTS, D] bf16 (row (b*NKV+h)*SLOTS+t)
+        kvf        VMEM [L, 2*B*NKV*SLOTS, D] bf16 — combined KV cache:
+                   rows [0, BNS) = K at (b*NKV+h)*SLOTS+t, rest = V
         hbuf       VMEM [3, H, V] int8;  ebuf VMEM [3, V, H] bf16
         hsem, esem DMA semaphores (3,) each
     """
@@ -94,7 +124,7 @@ def _cp_kernel(
          iln_ref, pln_ref, qn_ref, kn_ref, fn_ref, lms_ref,
          lmh_hbm, emb_hbm,
          codes_ref, esum_ref, logits_ref,
-         kf_ref, vf_ref, hbuf_ref, ebuf_ref, hsem, esem) = refs
+         kvf_ref, hbuf_ref, ebuf_ref, hsem, esem) = refs
     else:
         (seed_ref, x0_ref, cos_ref, sin_ref,
          wq_ref, sq_ref, wk_ref, sk_ref, wv_ref, sv_ref, wo_ref, so_ref,
@@ -102,13 +132,15 @@ def _cp_kernel(
          iln_ref, pln_ref, qn_ref, kn_ref, fn_ref, lms_ref,
          lmh_hbm, emb_hbm,
          codes_ref, esum_ref, logits_ref,
-         kf_ref, vf_ref, hbuf_ref, ebuf_ref, hsem, esem) = refs
+         kvf_ref, hbuf_ref, ebuf_ref, hsem, esem) = refs
     H, D, NQ, NKV, I, V, L, NCB, SLOTS, B = (
         shapes[k]
         for k in ("H", "D", "NQ", "NKV", "I", "V", "L", "NCB", "SLOTS", "B")
     )
     KVROWS = B * NKV * SLOTS  # flat cache rows: (b, h, t) -> (b*NKV+h)*SLOTS+t
     scale = D**-0.5
+
+    KV2 = 2 * KVROWS  # combined cache rows: [0,KVROWS) = K, [KVROWS,2K) = V
 
     if temperature > 0:
         pltpu.prng_seed(seed_ref[0], seed_ref[1])
@@ -127,10 +159,23 @@ def _cp_kernel(
         head_dma(2, 2).start()
     emb_dma(0, 0).start()
 
-    # zero the KV caches: masked slots contribute 0-weighted rows to the
+    # zero the KV cache: masked slots contribute 0-weighted rows to the
     # probs @ V dot, and 0 * garbage (NaN/Inf bit patterns) would poison it
-    kf_ref[...] = jnp.zeros_like(kf_ref)
-    vf_ref[...] = jnp.zeros_like(vf_ref)
+    kvf_ref[...] = jnp.zeros_like(kvf_ref)
+
+    # ---- statics hoisted out of the 16-position loop (each was recomputed
+    # per layer per position before; see VERDICT r2 "CP serial latency") ----
+    qh_i = jax.lax.broadcasted_iota(jnp.int32, (B * NQ, KVROWS), 0)
+    rr_i = jax.lax.broadcasted_iota(jnp.int32, (B * NQ, KVROWS), 1)
+    group = NQ // NKV
+    static_valid = ((rr_i // (NKV * SLOTS)) == (qh_i // NQ)) & (
+        ((rr_i % (NKV * SLOTS)) // SLOTS) == ((qh_i % NQ) // group)
+    )  # batch-block-diagonal + GQA head-match (position-independent)
+    slot_of = rr_i % SLOTS  # cache slot of each score column
+    rows2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (KV2, D), 0) % SLOTS
+    )  # slot of each combined-KV cache row
+    nh_i = jax.lax.broadcasted_iota(jnp.int32, (1, NQ + NKV, D), 1)
 
     def rms(x, w_row):  # x [R, C] bf16, w_row [1, C] f32 -> bf16
         xf = x.astype(jnp.float32)
@@ -157,71 +202,63 @@ def _cp_kernel(
             y = y * s_ref[l]
         return y.astype(jnp.bfloat16)
 
-    def rope(x, cos_row, sin_row):  # x [Hh, D] bf16; rows [1, D] bf16
-        half = D // 2
-        rot = jnp.concatenate([-x[:, half:], x[:, :half]], axis=-1)
-        return x * cos_row + rot * sin_row
-
-    def pick_row(table, idx):  # masked-reduce dynamic row read -> [1, C]
-        ri = jax.lax.broadcasted_iota(jnp.int32, table.shape, 0)
-        return jnp.sum(jnp.where(ri == idx, table, 0.0), axis=0, keepdims=True)
-
-    rowsb = jax.lax.broadcasted_iota(jnp.int32, (KVROWS, D), 0)  # cache rows
-
     def forward(x, p):
         """One position through all L layers. x [B, H] bf16, p scalar pos."""
-        cos_row = pick_row(cos_ref[...], p).astype(jnp.bfloat16)
-        sin_row = pick_row(sin_ref[...], p).astype(jnp.bfloat16)
+        # dynamic f32 sublane slices (p is a loop counter, legal in Mosaic)
+        cos_row = cos_ref[pl.ds(p, 1), :].astype(jnp.bfloat16)  # [1, D]
+        sin_row = sin_ref[pl.ds(p, 1), :].astype(jnp.bfloat16)
+        valid_p = static_valid & (slot_of <= p)  # shared by all L layers
+        sel = rows2 == p  # combined-KV write mask, shared by all L layers
         h = x
         for l in range(L):
             xn = rms(h, iln_ref[l])
             if fused:
                 qkv = mv(xn, wqkv_ref, l, sqkv_ref)  # [B, (NQ+2NKV)*D]
-                q = qkv[:, : NQ * D].reshape(B * NQ, D)
-                k = qkv[:, NQ * D : (NQ + NKV) * D].reshape(B * NKV, D)
+                qk = qkv[:, : (NQ + NKV) * D].reshape(B, NQ + NKV, D)
                 v = qkv[:, (NQ + NKV) * D :].reshape(B * NKV, D)
             else:
-                q = mv(xn, wq_ref, l, sq_ref).reshape(B * NQ, D)
-                k = mv(xn, wk_ref, l, sk_ref).reshape(B * NKV, D)
+                qk = jnp.concatenate(
+                    [
+                        mv(xn, wq_ref, l, sq_ref).reshape(B, NQ, D),
+                        mv(xn, wk_ref, l, sk_ref).reshape(B, NKV, D),
+                    ],
+                    axis=1,
+                )
                 v = mv(xn, wv_ref, l, sv_ref).reshape(B * NKV, D)
-            q = rms(q, qn_ref[l])
-            k = rms(k, kn_ref[l])
-            q = rope(q, cos_row, sin_row)
-            k = rope(k, cos_row, sin_row)
+            # merged q/k RMSNorm + rope: ONE [B, NQ+NKV, D] pass with a
+            # row-selected norm weight (rows < NQ: q_norm, rest: k_norm)
+            wqk = jnp.where(nh_i < NQ, qn_ref[l], kn_ref[l])
+            qk = rms(qk, wqk)
+            half = D // 2
+            rot = jnp.concatenate([-qk[..., half:], qk[..., :half]], axis=-1)
+            qk = qk * cos_row + rot * sin_row
+            q = qk[:, :NQ, :].reshape(B * NQ, D)
+            k = qk[:, NQ:, :].reshape(B * NKV, D)
 
-            # append k/v at slot p: rows (b*NKV+h)*SLOTS+p (masked full-buffer
-            # update — Mosaic rejects bf16 dynamic-sublane stores)
-            k_b = jnp.broadcast_to(
-                k[:, None, :], (B * NKV, SLOTS, D)
-            ).reshape(KVROWS, D)
-            v_b = jnp.broadcast_to(
-                v[:, None, :], (B * NKV, SLOTS, D)
-            ).reshape(KVROWS, D)
-            sel = (rowsb % SLOTS) == p
-            kf_ref[l] = jnp.where(sel, k_b, kf_ref[l])
-            vf_ref[l] = jnp.where(sel, v_b, vf_ref[l])
+            # append k AND v at slot p with ONE masked full-buffer update
+            # (Mosaic rejects bf16 dynamic-sublane stores); combined rows:
+            # [0, KVROWS) hold K at (b*NKV+h)*SLOTS+t, [KVROWS, 2K) hold V
+            kv_b = jnp.broadcast_to(
+                jnp.concatenate([k, v], axis=0)[:, None, :],
+                (2 * B * NKV, SLOTS, D),
+            ).reshape(KV2, D)
+            kvf_ref[l] = jnp.where(sel, kv_b, kvf_ref[l])
 
             # all-heads all-sequences GQA over the 16-slot caches in two MXU
             # ops: score row b*NQ+qh, col (b', h, t) valid iff b' == b and
-            # h == qh // (NQ/NKV) and t <= p (block-diagonal batch mask)
+            # h == qh // (NQ/NKV) and t <= p (mask hoisted: valid_p)
+            kf = kvf_ref[l, :KVROWS]
+            vf = kvf_ref[l, KVROWS:]
             s = jax.lax.dot_general(
-                q, kf_ref[l], (((1,), (1,)), ((), ())),
+                q, kf, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [B*NQ, KVROWS]
-            qh = jax.lax.broadcasted_iota(jnp.int32, (B * NQ, KVROWS), 0)
-            rr = jax.lax.broadcasted_iota(jnp.int32, (B * NQ, KVROWS), 1)
-            group = NQ // NKV
-            valid = (
-                ((rr // (NKV * SLOTS)) == (qh // NQ))
-                & (((rr % (NKV * SLOTS)) // SLOTS) == ((qh % NQ) // group))
-                & ((rr % SLOTS) <= p)
-            )
-            s = jnp.where(valid, s, NEG_INF)
+            s = jnp.where(valid_p, s, NEG_INF)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
             attn = jax.lax.dot_general(
-                probs, vf_ref[l], (((1,), (0,)), ((), ())),
+                probs, vf, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.bfloat16)  # [B*NQ, D]
 
@@ -259,7 +296,7 @@ def _cp_kernel(
                 hn, hbuf_ref[hslot].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        logits = logits * pick_row(lms_ref[...], hp)  # [B, V] f32
+        logits = logits * lms_ref[pl.ds(hp, 1), :]  # [B, V] f32
         logits_ref[pl.ds(hp, 1), :, :] = logits[None]
 
         if temperature <= 0:
@@ -267,18 +304,24 @@ def _cp_kernel(
         else:
             z = logits
             if 0 < top_k < V:
-                # k-th-largest threshold by binary search on the value
-                lo0 = jnp.min(z, axis=-1, keepdims=True)
-                hi0 = jnp.max(z, axis=-1, keepdims=True)
+                if B == 1:
+                    lo = topk_threshold_1row(z, top_k)
+                else:
+                    # per-row bisection (vectorizes over B; the parallel
+                    # counting scheme above is single-row)
+                    lo0 = jnp.min(z, axis=-1, keepdims=True)
+                    hi0 = jnp.max(z, axis=-1, keepdims=True)
 
-                def bs(_, lh):
-                    lo, hi = lh
-                    mid = 0.5 * (lo + hi)
-                    cnt = jnp.sum((z >= mid).astype(jnp.float32), axis=-1, keepdims=True)
-                    ge = cnt >= top_k
-                    return jnp.where(ge, mid, lo), jnp.where(ge, hi, mid)
+                    def bs(_, lh):
+                        lo, hi = lh
+                        mid = 0.5 * (lo + hi)
+                        cnt = jnp.sum(
+                            (z >= mid).astype(jnp.float32), axis=-1, keepdims=True
+                        )
+                        ge = cnt >= top_k
+                        return jnp.where(ge, mid, lo), jnp.where(ge, hi, mid)
 
-                lo, _ = jax.lax.fori_loop(0, 24, bs, (lo0, hi0))
+                    lo, _ = jax.lax.fori_loop(0, 24, bs, (lo0, hi0))
                 z = jnp.where(z >= lo, z, NEG_INF)
             bits = pltpu.prng_random_bits((B, V))
             # Mosaic can't cast uint32 -> f32; mask to 24 positive int32 bits
@@ -443,8 +486,7 @@ def _call(
             in_specs=[vmem] * n_vmem_in + [any_, any_],
             out_specs=[vmem, vmem, vmem],
             scratch_shapes=[
-                pltpu.VMEM((L, B * 128, D), jnp.bfloat16),
-                pltpu.VMEM((L, B * 128, D), jnp.bfloat16),
+                pltpu.VMEM((L, 2 * B * 128, D), jnp.bfloat16),
                 pltpu.VMEM((3, H, V), jnp.int8),
                 pltpu.VMEM((3, V, H), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((3,)),

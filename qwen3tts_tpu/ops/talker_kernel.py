@@ -296,25 +296,17 @@ def _talker_step_kernel(
                         jnp.where(lane_v == eos_id, z, 0.0), axis=-1, keepdims=True
                     )
                 if 0 < top_k < V:
-                    # seed the bisection from the SMALLEST UNSUPPRESSED
-                    # logit: including the -1e30 masked entries would leave
-                    # the interval ~1e22 wide after 24 halvings and the
-                    # threshold below every real logit (filter = no-op)
+                    # seed the search from the SMALLEST UNSUPPRESSED logit:
+                    # including the -1e30 masked entries would leave the
+                    # interval so wide the threshold lands below every real
+                    # logit (filter = no-op)
+                    from .cp_kernel import topk_threshold_1row
+
                     hi0 = jnp.max(z, axis=-1, keepdims=True)
                     lo0 = jnp.min(
                         jnp.where(z > -1e29, z, hi0), axis=-1, keepdims=True
                     )
-
-                    def bs(_, lh):
-                        lo, hi = lh
-                        mid = 0.5 * (lo + hi)
-                        cnt = jnp.sum(
-                            (z >= mid).astype(jnp.float32), axis=-1, keepdims=True
-                        )
-                        ge = cnt >= top_k
-                        return jnp.where(ge, mid, lo), jnp.where(ge, hi, mid)
-
-                    lo, _ = jax.lax.fori_loop(0, 24, bs, (lo0, hi0))
+                    lo = topk_threshold_1row(z, top_k, lo0)
                     z = jnp.where(z >= lo, z, NEG_INF)
                 if eos_id >= 0:
                     z = jnp.where(lane_v == eos_id, eos_logit, z)
@@ -388,7 +380,7 @@ def step_supported(params, cfg, batch: int = 1) -> bool:
     per_layer = (
         H * (NQ + 2 * NKV) * D + NQ * D * H + H * 2 * I + I * H
     ) * itemsize
-    kv_bufs = 4 * batch * NKV * 512 * D * 2
+    kv_bufs = 4 * batch * NKV * 128 * D * 2
     return 2 * per_layer + kv_bufs < 112 * 2**20
 
 
@@ -421,7 +413,14 @@ def talker_decode_step(
     L, H, D, NKV, NQ, I = s["L"], s["H"], s["D"], s["NKV"], s["NQ"], s["I"]
     assert sample is None or B == 1, "in-kernel sampling is single-sequence"
     T = k_cache.shape[3]
-    block_t = 512 if T % 512 == 0 else 128
+    # 128-slot KV blocks: attention streams ceil(max_off/128) blocks instead
+    # of rounding the valid prefix up to 512. At B=32 the 512-block stream
+    # read the whole cache every frame (~1.9 GB/frame = the entire measured
+    # frame time); 128 blocks track the true prefix 4x tighter and shrink
+    # the double-buffered KV scratch 4x (the 512-row buffers alone were
+    # ~134 MB at B=32 — over VMEM). DMA stays efficient: one block is
+    # B*NKV*128*D*2 bytes (>=0.5 MB at B>=1).
+    block_t = 128
     assert T % block_t == 0, f"cache length {T} not a multiple of {block_t}"
     layers = params["layers"]
     offs_arr = jnp.broadcast_to(
