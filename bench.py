@@ -53,6 +53,7 @@ def log(*a):
 
 
 def main() -> None:
+    main_t0 = time.time()
     dev = jax.devices()[0]
     log(f"device: {dev}")
     cfg = _flagship_17b() if MODEL == "1b7" else _flagship_06b()
@@ -169,11 +170,13 @@ def main() -> None:
     log(f"TTFT (prefill + 1 frame): {ttft * 1000:.1f}ms")
 
     # ---- TTFA (time to first audio, streaming path) ----
-    # mirrors tts.generate_stream(audio_chunk_frames=12): prefill + chunk of
-    # 12+8 frames (8 = pre-transformer lookahead), then a windowed vocoder
-    # decode of the first 12 frames (128-frame bucket, as production uses)
-    AUDIO_CHUNK, LOOKAHEAD = 12, 8
-    win = jnp.zeros((1, 128, 16), jnp.int32)
+    # mirrors tts.generate_stream(audio_chunk_frames=N): prefill + ramped
+    # first device chunk of FIRST_AUDIO+LOOKAHEAD frames (tts.py
+    # STREAM_FIRST_AUDIO_FRAMES / STREAM_LOOKAHEAD_FRAMES), then a windowed
+    # vocoder decode in the smallest stream bucket (32) — production's
+    # exact first-chunk path since round 3
+    AUDIO_CHUNK, LOOKAHEAD, WIN_BUCKET = 4, 8, 32
+    win = jnp.zeros((1, WIN_BUCKET, 16), jnp.int32)
     wav_w, _ = vc.decode(voc_params, vcfg, win, jnp.int32(AUDIO_CHUNK + LOOKAHEAD))
     jax.block_until_ready(wav_w)  # warm the window-decode program
     chunk_args = dict(
@@ -200,7 +203,7 @@ def main() -> None:
     import numpy as np
 
     codes_np = np.asarray(c2.codes)  # host readback, as generate_stream does
-    buf = np.zeros((1, 128, 16), np.int32)
+    buf = np.zeros((1, WIN_BUCKET, 16), np.int32)
     buf[0, : AUDIO_CHUNK + LOOKAHEAD] = codes_np[: AUDIO_CHUNK + LOOKAHEAD]
     wav_first, _ = vc.decode(
         voc_params, vcfg, jnp.asarray(buf), jnp.int32(AUDIO_CHUNK + LOOKAHEAD)
@@ -257,18 +260,187 @@ def main() -> None:
         f"fused e2e {e2e_t:.3f}s (vs split {gen_t + voc_t:.3f}s)")
     log(f"audio {audio_s:.2f}s  RTF {rtf:.4f}  (baseline {BASELINE_RTF})")
 
-    print(
-        json.dumps(
-            {
-                "metric": f"rtf_{'1.7b' if MODEL == '1b7' else '0.6b'}_customvoice_66frames_v5e"
-                + ("_int4" if INT4 else "")
-                + ("_int8wo" if QUANT == "int8" else ""),
-                "value": round(rtf, 4),
-                "unit": "rtf_gen_time_over_audio_duration",
-                "vs_baseline": round(BASELINE_RTF / rtf, 2),
+    headline = {
+        "metric": f"rtf_{'1.7b' if MODEL == '1b7' else '0.6b'}_customvoice_66frames_v5e"
+        + ("_int4" if INT4 else "")
+        + ("_int8wo" if QUANT == "int8" else ""),
+        "value": round(rtf, 4),
+        "unit": "rtf_gen_time_over_audio_duration",
+        "vs_baseline": round(BASELINE_RTF / rtf, 2),
+        "ttft_ms": round(ttft * 1000, 1),
+        "ttfa_ms": round(ttfa * 1000, 1),
+    }
+
+    # ---- the other BASELINE.json workload configs (budget-guarded) ----
+    # each scenario appends one compact entry; all of it rides the single
+    # stdout JSON line so the driver's parsed record carries every number
+    scenarios: dict = {}
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1800"))
+    wanted = [
+        s for s in os.environ.get("BENCH_SCENARIOS", "vd,clone,int4,long").split(",") if s
+    ]
+
+    def have_time(need_s: float) -> bool:
+        return time.time() - main_t0 + need_s < budget
+
+    # BASELINE configs[2]: VoiceDesign temperature sampling across 12
+    # languages. On synthetic weights a "language" differs only in prompt
+    # content/length, so this measures p50 RTF across 12 prompt variants
+    # through the already-compiled fused program.
+    if "vd" in wanted and have_time(30):
+        vd_times = []
+        for i in range(12):
+            t0 = time.time()
+            _, nf_i, wav_i, _ = run_gen_audio(40 + i)
+            np.asarray(_sum(wav_i))
+            vd_times.append(time.time() - t0)
+        vd_p50 = sorted(vd_times)[len(vd_times) // 2]
+        scenarios["voicedesign_12lang"] = {
+            "p50_rtf": round(vd_p50 / audio_s, 4),
+            "p95_rtf": round(sorted(vd_times)[-1] / audio_s, 4),
+        }
+        log(f"scenario vd: {json.dumps(scenarios['voicedesign_12lang'])}")
+
+    # BASELINE configs[3]: voice clone — 3 s reference audio through the
+    # speech-tokenizer encoder + ECAPA x-vector (the clone-only prep cost),
+    # reported alongside the synthesis RTF it precedes.
+    if "clone" in wanted and have_time(240):
+        try:
+            from qwen3tts_tpu.config import SpeakerEncoderConfig, TokenizerEncoderConfig
+            from qwen3tts_tpu.models import encoder as enc
+            from qwen3tts_tpu.models import speaker_encoder as spk
+
+            ecfg = TokenizerEncoderConfig()
+            scfg = SpeakerEncoderConfig()
+            ep = enc.init_encoder_params(jax.random.PRNGKey(7), ecfg, jnp.float32)
+            sp = spk.init_speaker_encoder_params(jax.random.PRNGKey(8), scfg, jnp.float32)
+            audio3s = jax.random.normal(jax.random.PRNGKey(9), (72000,)) * 0.1
+            codes_ref = enc.encode(ep, ecfg, audio3s[None])
+            xv = spk.extract_embedding(sp, scfg, audio3s)
+            jax.block_until_ready((codes_ref, xv))  # compile+warm
+            t0 = time.time()
+            codes_ref = enc.encode(ep, ecfg, audio3s[None])
+            xv = spk.extract_embedding(sp, scfg, audio3s)
+            jax.block_until_ready((codes_ref, xv))
+            prep_s = time.time() - t0
+            scenarios["voice_clone"] = {
+                "prep_ms": round(prep_s * 1000, 1),
+                "rtf_incl_prep": round((e2e_t + prep_s) / audio_s, 4),
             }
-        )
-    )
+            log(f"scenario clone: {json.dumps(scenarios['voice_clone'])}")
+        except Exception as ex:  # pragma: no cover - keep the bench alive
+            log(f"scenario clone failed: {ex!r}")
+
+    # BASELINE configs[4]: int4 packed-weight edge model (Pallas
+    # dequant-in-matmul path). Reuses the host numpy params.
+    if "int4" in wanted and not INT4 and have_time(420):
+        try:
+            tp4 = hi.to_device(hi.pack_linear_params(tp_np), jnp.bfloat16)
+            cp4 = hi.to_device(hi.pack_linear_params(cpp_np), jnp.bfloat16)
+
+            def run_gen4(seed):
+                return gen.generate_codes(
+                    tp4, cp4, talker_cfg=cfg, cp_cfg=cpc, sampling=sampling,
+                    prefill_embeds=prefill, prefill_len=jnp.int32(PREFILL_LEN),
+                    trailing_embeds=trailing, trailing_len=jnp.int32(12),
+                    tts_pad_embed=tts_pad, cache=make_cache(),
+                    max_steps=jnp.int32(FRAMES), max_frames=max_frames,
+                    key=jax.random.PRNGKey(seed),
+                )
+
+            c4 = run_gen4(0)
+            jax.block_until_ready(c4.codes)  # compile+warm
+            t0 = time.time()
+            c4 = run_gen4(1)
+            jax.block_until_ready(c4.codes)
+            gen4_t = time.time() - t0
+            scenarios["int4_packed_0.6b"] = {
+                "rtf": round((gen4_t + voc_t) / audio_s, 4),
+                "codec_tok_s": round(int(c4.n_frames) * 16 / gen4_t, 0),
+            }
+            log(f"scenario int4: {json.dumps(scenarios['int4_packed_0.6b'])}")
+            del tp4, cp4
+        except Exception as ex:  # pragma: no cover
+            log(f"scenario int4 failed: {ex!r}")
+
+    # BASELINE configs[1]: 1.7B long decode (512 frames = 41 s of audio,
+    # 4096-slot KV cache) on the int8 serving path — KV-cache growth is
+    # where frame time drifts up.
+    if "long" in wanted and MODEL != "1b7" and have_time(900):
+        try:
+            del tp_np, cpp_np
+            from qwen3tts_tpu.ops.quant import quantize_decode_params_int8
+
+            cfgL = _flagship_17b()
+            t0 = time.time()
+            tpL = hi.to_device(hi.host_init_talker_params(30, cfgL), jnp.bfloat16)
+            cpL = hi.to_device(
+                hi.host_init_cp_params(31, cfgL.code_predictor_config, cfgL.hidden_size),
+                jnp.bfloat16,
+            )
+            tpL = dict(tpL)
+            tpL["layers"] = tk.fuse_layer_projections(tpL["layers"])
+            tpL = quantize_decode_params_int8(tpL, "codec_head")
+            cpL = dict(cpL)
+            cpL["layers"] = tk.fuse_layer_projections(cpL["layers"])
+            cpL = quantize_decode_params_int8(cpL, "lm_head")
+            jax.block_until_ready(tpL["layers"]["input_layernorm"])
+            log(f"1.7B long-decode init: {time.time() - t0:.1f}s")
+            LONG_FRAMES, long_cache = 512, 4096
+            prefillL = (
+                jax.random.normal(
+                    jax.random.PRNGKey(33), (1, p_bucket, cfgL.hidden_size), jnp.bfloat16
+                ) * 0.05
+            )
+            trailingL = (
+                jax.random.normal(jax.random.PRNGKey(34), (64, cfgL.hidden_size), jnp.bfloat16)
+                * 0.05
+            )
+
+            def run_long(seed):
+                return gen.generate_codes_fused(
+                    tpL, cpL, talker_cfg=cfgL, cp_cfg=cfgL.code_predictor_config,
+                    sampling=sampling, prefill_embeds=prefillL,
+                    prefill_len=jnp.int32(PREFILL_LEN), trailing_embeds=trailingL,
+                    trailing_len=jnp.int32(12),
+                    tts_pad_embed=jnp.zeros((cfgL.hidden_size,), jnp.bfloat16),
+                    cache=tk.make_cache(cfgL, 1, long_cache, jnp.bfloat16),
+                    max_steps=jnp.int32(LONG_FRAMES), max_frames=LONG_FRAMES,
+                    key=jax.random.PRNGKey(seed),
+                )
+
+            cL = run_long(0)
+            jax.block_until_ready(cL.codes)  # compile+warm
+            t0 = time.time()
+            cL = run_long(1)
+            jax.block_until_ready(cL.codes)
+            genL_t = time.time() - t0
+            framesL = int(cL.n_frames)
+            audioL_s = framesL / CODEC_RATE
+            t0 = time.time()
+            bufL = jnp.zeros((1, LONG_FRAMES, 16), jnp.int32).at[0, :framesL].set(
+                cL.codes[:framesL]
+            )
+            wavL, _ = vc.decode(voc_params, vcfg, bufL, jnp.int32(framesL))
+            jax.block_until_ready(wavL)
+            vocL_warm = time.time() - t0  # includes the 512-bucket compile
+            t0 = time.time()
+            wavL, _ = vc.decode(voc_params, vcfg, bufL, jnp.int32(framesL))
+            jax.block_until_ready(wavL)
+            vocL_t = time.time() - t0
+            scenarios["long_decode_1.7b_512f"] = {
+                "rtf": round((genL_t + vocL_t) / audioL_s, 4),
+                "gen_frames_s": round(framesL / genL_t, 1),
+                "cache_slots": long_cache,
+            }
+            log(f"scenario long: {json.dumps(scenarios['long_decode_1.7b_512f'])}")
+        except Exception as ex:  # pragma: no cover
+            log(f"scenario long failed: {ex!r}")
+
+    if scenarios:
+        headline["scenarios"] = scenarios
+    log(f"total bench wall time: {time.time() - main_t0:.0f}s")
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
