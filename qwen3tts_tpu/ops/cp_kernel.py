@@ -91,6 +91,7 @@ def _cp_kernel(
     top_k: int,
     eps: float,
     fused: bool,  # layers carry qkv_proj/gate_up_proj instead of q/k/v, g/u
+    want_logits: bool,  # False: logits_ref is a tiny dummy, writes skipped
     # positional refs — layout depends on ``fused``; see unpacking below
     *refs,
 ):
@@ -162,6 +163,8 @@ def _cp_kernel(
     # zero the KV cache: masked slots contribute 0-weighted rows to the
     # probs @ V dot, and 0 * garbage (NaN/Inf bit patterns) would poison it
     kvf_ref[...] = jnp.zeros_like(kvf_ref)
+    if not want_logits:
+        logits_ref[...] = jnp.zeros_like(logits_ref)  # tiny dummy output
 
     # ---- statics hoisted out of the 16-position loop (each was recomputed
     # per layer per position before; see VERDICT r2 "CP serial latency") ----
@@ -297,7 +300,8 @@ def _cp_kernel(
                 preferred_element_type=jnp.float32,
             )
         logits = logits * lms_ref[pl.ds(hp, 1), :]  # [B, V] f32
-        logits_ref[pl.ds(hp, 1), :, :] = logits[None]
+        if want_logits:
+            logits_ref[pl.ds(hp, 1), :, :] = logits[None]
 
         if temperature <= 0:
             z = logits
@@ -438,7 +442,10 @@ def kernel_supported(cp_params, cp_cfg, talker_h: int) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cp_cfg", "talker_h", "temperature", "top_k", "mode", "interpret"),
+    static_argnames=(
+        "cp_cfg", "talker_h", "temperature", "top_k", "mode", "interpret",
+        "want_logits",
+    ),
 )
 def _call(
     cp_params,
@@ -451,6 +458,7 @@ def _call(
     top_k: int,
     mode: str,
     interpret: bool,
+    want_logits: bool = False,
 ):
     B = x0.shape[0]
     s = _shapes(cp_cfg, talker_h, batch=B)
@@ -473,7 +481,7 @@ def _call(
     fused = "qkv_proj" in layers
     kernel = functools.partial(
         _cp_kernel, s, mode, float(temperature), int(top_k),
-        float(cp_cfg.rms_norm_eps), fused,
+        float(cp_cfg.rms_norm_eps), fused, want_logits,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -496,7 +504,12 @@ def _call(
         out_shape=[
             jax.ShapeDtypeStruct((B, 128), jnp.int32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((NCB + 1, B, V), jnp.float32),
+            # diagnostics-only: 16*B*V f32 of VMEM (4.2 MB at B=32 — the
+            # difference between fitting and a scoped-vmem OOM); a tiny
+            # dummy when the caller doesn't ask for logits
+            jax.ShapeDtypeStruct(
+                (NCB + 1, B, V) if want_logits else (1, 8, 128), jnp.float32
+            ),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -588,6 +601,7 @@ def predict_codes_fused(
         top_k=int(top_k),
         mode=mode,
         interpret=interpret,
+        want_logits=bool(return_logits),
     )
     out = codes[:, : s["NCB"]]
     if return_logits:

@@ -323,6 +323,22 @@ def _talker_step_kernel(
             h_out_ref[...] = hn  # post-norm hidden (CP consumes this)
 
 
+def _pick_block_t(T: int, B: int, NKV: int, D: int) -> int:
+    """Largest KV stream block (512/256/128 rows) that divides the cache
+    and keeps the 4 double-buffered KV scratch buffers within ~34 MB of
+    VMEM. Bigger blocks amortize DMA issue/wait latency and keep the
+    per-block attention matmuls MXU-sized (matters for long caches: a
+    4096-slot cache walks 8 blocks of 512 instead of 32 of 128); the
+    budget keeps large batches from eating the weight double-buffers
+    (at B=32 a 512-row block alone would need 134 MB)."""
+    budget = 34 * 2**20
+    per_row = 4 * B * NKV * D * 2  # 2 slots x (K, V), bf16
+    for cand in (512, 256):
+        if T % cand == 0 and per_row * cand <= budget:
+            return cand
+    return 128
+
+
 def _shapes(cfg) -> dict:
     return dict(
         H=cfg.hidden_size,
@@ -380,7 +396,9 @@ def step_supported(params, cfg, batch: int = 1) -> bool:
     per_layer = (
         H * (NQ + 2 * NKV) * D + NQ * D * H + H * 2 * I + I * H
     ) * itemsize
-    kv_bufs = 4 * batch * NKV * 128 * D * 2
+    # KV scratch is bounded by _pick_block_t's 34 MB budget (floor: the
+    # 128-row block that is always legal)
+    kv_bufs = min(34 * 2**20, 4 * batch * NKV * 512 * D * 2)
     return 2 * per_layer + kv_bufs < 112 * 2**20
 
 
@@ -413,14 +431,12 @@ def talker_decode_step(
     L, H, D, NKV, NQ, I = s["L"], s["H"], s["D"], s["NKV"], s["NQ"], s["I"]
     assert sample is None or B == 1, "in-kernel sampling is single-sequence"
     T = k_cache.shape[3]
-    # 128-slot KV blocks: attention streams ceil(max_off/128) blocks instead
-    # of rounding the valid prefix up to 512. At B=32 the 512-block stream
-    # read the whole cache every frame (~1.9 GB/frame = the entire measured
-    # frame time); 128 blocks track the true prefix 4x tighter and shrink
-    # the double-buffered KV scratch 4x (the 512-row buffers alone were
-    # ~134 MB at B=32 — over VMEM). DMA stays efficient: one block is
-    # B*NKV*128*D*2 bytes (>=0.5 MB at B>=1).
-    block_t = 128
+    # Attention streams ceil(max_off/block_t) valid-prefix blocks; block_t
+    # adapts to (T, B) — see _pick_block_t. Small blocks track the valid
+    # prefix tighter (at B=32 a fixed 512 block read the whole cache every
+    # frame, ~1.9 GB/frame), big blocks amortize DMA latency on long
+    # caches; the scratch budget arbitrates.
+    block_t = _pick_block_t(T, B, NKV, D)
     assert T % block_t == 0, f"cache length {T} not a multiple of {block_t}"
     layers = params["layers"]
     offs_arr = jnp.broadcast_to(
