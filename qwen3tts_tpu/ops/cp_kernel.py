@@ -168,12 +168,22 @@ def _cp_kernel(
 
     # ---- statics hoisted out of the 16-position loop (each was recomputed
     # per layer per position before; see VERDICT r2 "CP serial latency") ----
-    qh_i = jax.lax.broadcasted_iota(jnp.int32, (B * NQ, KVROWS), 0)
-    rr_i = jax.lax.broadcasted_iota(jnp.int32, (B * NQ, KVROWS), 1)
+    # Attention runs over SEQUENCE GROUPS of SG <= 8: a flat all-batch score
+    # matrix ([B*NQ, B*NKV*SLOTS]) costs O(B^2) in both MXU work and VPU
+    # mask/exp traffic (at B=32: [512, 4096] f32 several times per layer per
+    # position ~ 2.5 GB/frame — measured 1.96 ms/frame vs 0.90 at B=1,
+    # tools/microbench_batch.py). Group-local blocks are [SG*NQ, SG*128]
+    # (=[128, 1024] at SG=8): MXU-shaped, linear in B, and the masks are
+    # shared by all groups.
+    SG = B if B <= 8 else next(g for g in (8, 4, 2, 1) if B % g == 0)
+    NGRP = B // SG
+    GROWS = SG * NKV * SLOTS  # K (or V) cache rows per group
+    qh_i = jax.lax.broadcasted_iota(jnp.int32, (SG * NQ, GROWS), 0)
+    rr_i = jax.lax.broadcasted_iota(jnp.int32, (SG * NQ, GROWS), 1)
     group = NQ // NKV
     static_valid = ((rr_i // (NKV * SLOTS)) == (qh_i // NQ)) & (
         ((rr_i % (NKV * SLOTS)) // SLOTS) == ((qh_i % NQ) // group)
-    )  # batch-block-diagonal + GQA head-match (position-independent)
+    )  # group-block-diagonal + GQA head-match (position-independent)
     slot_of = rr_i % SLOTS  # cache slot of each score column
     rows2 = (
         jax.lax.broadcasted_iota(jnp.int32, (KV2, D), 0) % SLOTS
@@ -247,23 +257,34 @@ def _cp_kernel(
             ).reshape(KV2, D)
             kvf_ref[l] = jnp.where(sel, kv_b, kvf_ref[l])
 
-            # all-heads all-sequences GQA over the 16-slot caches in two MXU
-            # ops: score row b*NQ+qh, col (b', h, t) valid iff b' == b and
-            # h == qh // (NQ/NKV) and t <= p (mask hoisted: valid_p)
-            kf = kvf_ref[l, :KVROWS]
-            vf = kvf_ref[l, KVROWS:]
-            s = jax.lax.dot_general(
-                q, kf, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale  # [B*NQ, KVROWS]
-            s = jnp.where(valid_p, s, NEG_INF)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
-            attn = jax.lax.dot_general(
-                probs, vf, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)  # [B*NQ, D]
+            # all-heads GQA over the 16-slot caches, one sequence-group at a
+            # time (two MXU ops per group): score row b*NQ+qh, col (b', h, t)
+            # valid iff b' == b and h == qh // (NQ/NKV) and t <= p (mask
+            # hoisted: valid_p, shared by every group)
+            attn_parts = []
+            for gi in range(NGRP):
+                qg = q[gi * SG * NQ : (gi + 1) * SG * NQ]
+                kf = kvf_ref[l, gi * GROWS : (gi + 1) * GROWS]
+                vf = kvf_ref[l, KVROWS + gi * GROWS : KVROWS + (gi + 1) * GROWS]
+                s = jax.lax.dot_general(
+                    qg, kf, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale  # [SG*NQ, GROWS]
+                s = jnp.where(valid_p, s, NEG_INF)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+                attn_parts.append(
+                    jax.lax.dot_general(
+                        probs, vf, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(jnp.bfloat16)  # [SG*NQ, D]
+                )
+            attn = (
+                attn_parts[0]
+                if NGRP == 1
+                else jnp.concatenate(attn_parts, axis=0)
+            )
 
             h = h + mv(attn.reshape(B, NQ * D), wo_ref, l, so_ref)
             xn = rms(h, pln_ref[l])

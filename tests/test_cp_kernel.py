@@ -165,6 +165,52 @@ def test_batched_matches_per_row(setup):
         assert (np.abs(lb - l1) / scale).max() < 0.02, f"row {b}"
 
 
+def test_batched_multigroup_matches_per_row(setup):
+    """B=12 (3 sequence-groups of SG=4) grouped attention has no leakage.
+
+    Exact greedy equality vs B=1 runs does NOT hold at B=12: the [B, H]
+    matvecs round differently than [1, H] (bf16, shape-dependent tiling),
+    which can flip near-tied argmaxes. Leakage is instead caught exactly by
+    permutation invariance — each row's result is a function of that row's
+    inputs only, so permuting sequences across group boundaries must
+    permute the outputs verbatim. Position-0 logits are additionally pinned
+    to the B=1 reference within bf16 rounding tolerance."""
+    cfg, cpp, talker_params, hidden, code0 = setup
+    B = 12
+    scales = jnp.linspace(0.6, 1.4, B)[:, None]
+    hiddenB = jnp.broadcast_to(hidden, (B, hidden.shape[-1])) * scales
+    hiddenB = hiddenB.astype(jnp.bfloat16)
+    code0B = (jnp.arange(B, dtype=jnp.int32) * 37 + 5) % cfg.vocab_size
+    codesB, esumB, logitsB = predict_codes_fused(
+        cpp, cfg, talker_params, hiddenB, code0B, jax.random.PRNGKey(5),
+        temperature=0.0, top_k=50, mode="wo_bf16", interpret=True,
+        return_logits=True,
+    )
+    assert codesB.shape == (B, cfg.num_code_groups - 1)
+    # permute across group boundaries (groups of 4: rolling by 5 moves every
+    # sequence into a different group and position)
+    perm = np.roll(np.arange(B), 5)
+    codesP, esumP = predict_codes_fused(
+        cpp, cfg, talker_params, hiddenB[perm], code0B[perm],
+        jax.random.PRNGKey(5), temperature=0.0, top_k=50, mode="wo_bf16",
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(codesP), np.asarray(codesB)[perm])
+    np.testing.assert_array_equal(np.asarray(esumP), np.asarray(esumB)[perm])
+    # per-row logits at the first codebook stay within bf16 rounding of the
+    # independent B=1 reference (structural leakage would be O(1) garbage)
+    for b in (0, 3, 4, 7, 11):
+        _, _, logits1 = predict_codes_fused(
+            cpp, cfg, talker_params, hiddenB[b : b + 1], code0B[b : b + 1],
+            jax.random.PRNGKey(5), temperature=0.0, top_k=50, mode="wo_bf16",
+            interpret=True, return_logits=True,
+        )
+        lb = np.asarray(logitsB)[0, b]
+        l1 = np.asarray(logits1)[0]
+        scale = np.std(l1) + 1e-6
+        assert (np.abs(lb - l1) / scale).max() < 0.02, f"row {b}"
+
+
 def test_sampled_codes_in_topk(setup):
     cfg, cpp, talker_params, hidden, code0 = setup
     try:
