@@ -306,19 +306,20 @@ def admit_slot(
     suppress_mask = build_suppress_mask(vocab, talker_cfg.codec_eos_token_id)
 
     # single-sequence prompt prefill into a scratch cache, then scatter the
-    # prompt's KV rows into the batch cache at this slot
-    scratch = tk.KVCache(
-        jnp.zeros((L, 1, Hkv, T_max, D), carry.cache.k.dtype),
-        jnp.zeros((L, 1, Hkv, T_max, D), carry.cache.v.dtype),
+    # prompt's KV rows (and row scales, for int8 caches) into the batch
+    # cache at this slot — every cache leaf is [L, B, Hkv, T(, D)]
+    scratch = jax.tree.map(
+        lambda a: jnp.zeros((a.shape[0], 1) + a.shape[2:], a.dtype), carry.cache
     )
     hidden, scratch = tk.forward(
         talker_params, talker_cfg, prefill_embeds, scratch, jnp.int32(0)
     )
-    k_all = jax.lax.dynamic_update_slice(
-        carry.cache.k, scratch.k, (0, slot, 0, 0, 0)
-    )
-    v_all = jax.lax.dynamic_update_slice(
-        carry.cache.v, scratch.v, (0, slot, 0, 0, 0)
+    new_cache = jax.tree.map(
+        lambda full, scr: jax.lax.dynamic_update_slice(
+            full, scr, (0, slot) + (0,) * (full.ndim - 2)
+        ),
+        carry.cache,
+        scratch,
     )
 
     last = jax.lax.dynamic_index_in_dim(hidden, prefill_len - 1, 1, keepdims=False)
@@ -351,7 +352,7 @@ def admit_slot(
             frames=put(carry.frames, jnp.where(is_eos, 0, 1).astype(jnp.int32)[:1]),
             done=put(carry.done, is_eos[:1]),
             cur_input=put(carry.cur_input, next_in),
-            cache=tk.KVCache(k_all, v_all),
+            cache=new_cache,
             offsets=put(carry.offsets, prefill_len[None]),
             seen=put(carry.seen, seen1),
             codes=put(carry.codes, new_codes),

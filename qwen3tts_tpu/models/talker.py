@@ -45,11 +45,67 @@ class KVCache(NamedTuple):
     def max_len(self) -> int:
         return self.k.shape[3]
 
+    @property
+    def quantized(self) -> bool:
+        return False
+
+
+class KVCacheQ(NamedTuple):
+    """int8 KV cache with per-row (per head per slot) f32 scales.
+
+    Halves attention's HBM read traffic vs bf16 — the dominant per-sequence
+    cost of batched decode (at B=32 the bf16 KV stream was ~470 MB/frame vs
+    440 MB of weights, tools/microbench_batch.py). k/v: int8
+    [L, B, H_kv, T_max, D]; ks/vs: f32 [L, B, H_kv, T_max], row scale =
+    amax/127 at append time. Opt-in (``kv_cache_dtype="int8"``): int8
+    rounding perturbs attention by ~0.4% relative — fine for serving, but
+    parity tests pin the bf16 default.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    ks: jnp.ndarray
+    vs: jnp.ndarray
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def quantized(self) -> bool:
+        return True
+
+
+def quantize_kv_rows(x: jnp.ndarray):
+    """Per-row symmetric int8: x [..., D] -> (int8 [..., D], f32 scale [...])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax * (1.0 / 127.0), 1e-12)
+    q = jnp.round(xf / scale[..., None]).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16):
+    """Inverse of :func:`quantize_kv_rows` (q [..., D], scale [...])."""
+    return (q.astype(jnp.float32) * scale[..., None].astype(jnp.float32)).astype(dtype)
+
 
 def make_cache(
-    cfg: TalkerConfig, batch: int, max_len: int, dtype=jnp.bfloat16
-) -> KVCache:
+    cfg: TalkerConfig,
+    batch: int,
+    max_len: int,
+    dtype=jnp.bfloat16,
+    *,
+    quantized: bool = False,
+) -> KVCache | KVCacheQ:
     shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
+    if quantized:
+        return KVCacheQ(
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape[:-1], jnp.float32),
+            jnp.zeros(shape[:-1], jnp.float32),
+        )
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -271,6 +327,36 @@ def _kernel_mode(params) -> str:
     return os.environ.get("QWEN3TTS_TK_MODE", "wo_bf16")
 
 
+def _append_cache_rows(cache, k_new, v_new, offset):
+    """Append one decode step's k/v rows ([L, B, H_kv, D]) at ``offset``
+    (scalar, shared by the batch), quantizing when the cache is int8."""
+    if cache.quantized:
+        kq, ksc = quantize_kv_rows(k_new)
+        vq, vsc = quantize_kv_rows(v_new)
+        return KVCacheQ(
+            jax.lax.dynamic_update_slice(
+                cache.k, kq[:, :, :, None, :], (0, 0, 0, offset, 0)
+            ),
+            jax.lax.dynamic_update_slice(
+                cache.v, vq[:, :, :, None, :], (0, 0, 0, offset, 0)
+            ),
+            jax.lax.dynamic_update_slice(
+                cache.ks, ksc[:, :, :, None], (0, 0, 0, offset)
+            ),
+            jax.lax.dynamic_update_slice(
+                cache.vs, vsc[:, :, :, None], (0, 0, 0, offset)
+            ),
+        )
+    return KVCache(
+        jax.lax.dynamic_update_slice(
+            cache.k, k_new[:, :, :, None, :].astype(cache.k.dtype), (0, 0, 0, offset, 0)
+        ),
+        jax.lax.dynamic_update_slice(
+            cache.v, v_new[:, :, :, None, :].astype(cache.v.dtype), (0, 0, 0, offset, 0)
+        ),
+    )
+
+
 def forward(
     params: Params,
     cfg: TalkerConfig,
@@ -288,6 +374,7 @@ def forward(
     """
     B, S, _ = inputs_embeds.shape
     T_max = cache.max_len
+    quantized = cache.quantized
     if seq_len is None:
         seq_len = jnp.int32(S)
 
@@ -327,15 +414,11 @@ def forward(
             h, k_new, v_new = talker_decode_step(
                 params, cfg, inputs_embeds, cache.k, cache.v, offset, cos, sin,
                 mode=mode,
-            )
-            k_all = jax.lax.dynamic_update_slice(
-                cache.k, k_new[:, :, :, None, :], (0, 0, 0, offset, 0)
-            )
-            v_all = jax.lax.dynamic_update_slice(
-                cache.v, v_new[:, :, :, None, :], (0, 0, 0, offset, 0)
+                k_scale=cache.ks if quantized else None,
+                v_scale=cache.vs if quantized else None,
             )
             h = rms_norm(h, params["norm"], eps)
-            return h, KVCache(k_all, v_all)
+            return h, _append_cache_rows(cache, k_new, v_new, offset)
 
     # Prefix-streaming kernel economics (re-measured round 2 with the
     # all-heads stripe kernel, ops/attention.py): at T<=2048 right-sized
@@ -350,6 +433,7 @@ def forward(
         and B == 1
         and T_max % 128 == 0
         and T_max >= 4096
+        and not quantized  # the standalone kernel streams bf16 caches only
         and jax.devices()[0].platform in ("tpu", "axon")
         and not os.environ.get("QWEN3TTS_NO_PALLAS_ATTN")
     )
@@ -359,39 +443,60 @@ def forward(
     # copy a fresh full-cache output every step (measured +1.5 ms/step at a
     # 2048-row cache on v5e).
     def layer_fn(carry, xs):
-        h, k_all, v_all = carry
+        h, cc = carry  # cc: cache leaves tuple (k, v[, ks, vs])
         p, idx = xs
         x = rms_norm(h, p["input_layernorm"], eps)
         q, k, v = _project_qkv(p, x, B, S, nq, nkv, hd, eps)
         q, k = apply_rotary(q, k, cos, sin)
 
-        k_all = jax.lax.dynamic_update_slice(k_all, k[None], (idx, 0, 0, offset, 0))
-        v_all = jax.lax.dynamic_update_slice(v_all, v[None], (idx, 0, 0, offset, 0))
-        if use_attn_kernel:
-            # Pallas path: prefix-only flash attention over the HBM cache
-            # (ops/attention.py), reading this layer's slice via DMA
-            from ..ops.attention import decode_attention_inner
-
-            attn = decode_attention_inner(q, k_all, v_all, offset, scale, layer=idx)
-        else:
-            k_cache = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
-            v_cache = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
+        if quantized:
+            k_all, v_all, ks_all, vs_all = cc
+            kq, ksc = quantize_kv_rows(k)  # k [B, nkv, S, D]
+            vq, vsc = quantize_kv_rows(v)
+            k_all = jax.lax.dynamic_update_slice(k_all, kq[None], (idx, 0, 0, offset, 0))
+            v_all = jax.lax.dynamic_update_slice(v_all, vq[None], (idx, 0, 0, offset, 0))
+            ks_all = jax.lax.dynamic_update_slice(ks_all, ksc[None], (idx, 0, 0, offset))
+            vs_all = jax.lax.dynamic_update_slice(vs_all, vsc[None], (idx, 0, 0, offset))
+            k_cache = dequantize_kv(
+                jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(ks_all, idx, 0, keepdims=False),
+            )
+            v_cache = dequantize_kv(
+                jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(vs_all, idx, 0, keepdims=False),
+            )
             attn = _attend(q, k_cache, v_cache, mask, scale)
+            cc = (k_all, v_all, ks_all, vs_all)
+        else:
+            k_all, v_all = cc
+            k_all = jax.lax.dynamic_update_slice(k_all, k[None], (idx, 0, 0, offset, 0))
+            v_all = jax.lax.dynamic_update_slice(v_all, v[None], (idx, 0, 0, offset, 0))
+            if use_attn_kernel:
+                # Pallas path: prefix-only flash attention over the HBM cache
+                # (ops/attention.py), reading this layer's slice via DMA
+                from ..ops.attention import decode_attention_inner
+
+                attn = decode_attention_inner(q, k_all, v_all, offset, scale, layer=idx)
+            else:
+                k_cache = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
+                v_cache = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
+                attn = _attend(q, k_cache, v_cache, mask, scale)
+            cc = (k_all, v_all)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nq * hd)
         h = h + _dense(attn, p["o_proj"])
 
         x = rms_norm(h, p["post_attention_layernorm"], eps)
         h = h + _dense(_swiglu_mlp(p, x), p["down_proj"])
-        return (h, k_all, v_all), None
+        return (h, cc), None
 
     L = cfg.num_hidden_layers
-    (h, new_k, new_v), _ = jax.lax.scan(
+    (h, new_cc), _ = jax.lax.scan(
         layer_fn,
-        (inputs_embeds, cache.k, cache.v),
+        (inputs_embeds, tuple(cache)),
         (params["layers"], jnp.arange(L, dtype=jnp.int32)),
     )
     h = rms_norm(h, params["norm"], eps)
-    return h, KVCache(new_k, new_v)
+    return h, type(cache)(*new_cc)
 
 
 def forward_step_sample(
@@ -433,14 +538,10 @@ def forward_step_sample(
         seed=seed,
         suppress_add=suppress_add[None],
         seen=seen[None],
+        k_scale=cache.ks if cache.quantized else None,
+        v_scale=cache.vs if cache.quantized else None,
     )
-    k_all = jax.lax.dynamic_update_slice(
-        cache.k, k_new[:, :, :, None, :], (0, 0, 0, offset, 0)
-    )
-    v_all = jax.lax.dynamic_update_slice(
-        cache.v, v_new[:, :, :, None, :], (0, 0, 0, offset, 0)
-    )
-    return h, KVCache(k_all, v_all), code0
+    return h, _append_cache_rows(cache, k_new, v_new, offset), code0
 
 
 def forward_batched_step(
@@ -482,15 +583,26 @@ def forward_batched_step(
             h, k_new, v_new = talker_decode_step(
                 params, cfg, inputs_embeds, cache.k, cache.v, offsets, cos, sin,
                 mode=mode,
+                k_scale=cache.ks if cache.quantized else None,
+                v_scale=cache.vs if cache.quantized else None,
             )
             # per-sequence scatter append at each sequence's own offset
             bb = jnp.arange(B)[None, :, None]
             ll = jnp.arange(cfg.num_hidden_layers)[:, None, None]
             hh = jnp.arange(cfg.num_key_value_heads)[None, None, :]
             off_b = offsets[None, :, None]
+            h = rms_norm(h, params["norm"], cfg.rms_norm_eps)  # [B, 1, h]
+            if cache.quantized:
+                kq, ksc = quantize_kv_rows(k_new)  # [L, B, Hkv, D] -> + [L, B, Hkv]
+                vq, vsc = quantize_kv_rows(v_new)
+                return h, KVCacheQ(
+                    cache.k.at[ll, bb, hh, off_b, :].set(kq),
+                    cache.v.at[ll, bb, hh, off_b, :].set(vq),
+                    cache.ks.at[ll, bb, hh, off_b].set(ksc),
+                    cache.vs.at[ll, bb, hh, off_b].set(vsc),
+                )
             k_all = cache.k.at[ll, bb, hh, off_b, :].set(k_new)
             v_all = cache.v.at[ll, bb, hh, off_b, :].set(v_new)
-            h = rms_norm(h, params["norm"], cfg.rms_norm_eps)  # [B, 1, h]
             return h, KVCache(k_all, v_all)
 
     t_idx = jnp.arange(T_max, dtype=jnp.int32)
@@ -502,34 +614,56 @@ def forward_batched_step(
     b_idx = jnp.arange(B)[:, None]
     h_idx = jnp.arange(nkv)[None, :]
 
+    quantized = cache.quantized
+
     def layer_fn(carry, xs):
-        h, k_all, v_all = carry
+        h, cc = carry  # cache leaves tuple (k, v[, ks, vs])
         p, idx = xs
         x = rms_norm(h, p["input_layernorm"], eps)
         q, k, v = _project_qkv(p, x, B, S, nq, nkv, hd, eps)
         q, k = apply_rotary(q, k, cos, sin)
 
         # per-sequence scatter append: k_all[idx, b, :, offsets[b], :] = k
-        k_all = k_all.at[idx, b_idx, h_idx, offsets[:, None], :].set(k[:, :, 0, :])
-        v_all = v_all.at[idx, b_idx, h_idx, offsets[:, None], :].set(v[:, :, 0, :])
-        k_cache = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
-        v_cache = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
+        if quantized:
+            k_all, v_all, ks_all, vs_all = cc
+            kq, ksc = quantize_kv_rows(k[:, :, 0, :])  # [B, nkv, D] -> + [B, nkv]
+            vq, vsc = quantize_kv_rows(v[:, :, 0, :])
+            k_all = k_all.at[idx, b_idx, h_idx, offsets[:, None], :].set(kq)
+            v_all = v_all.at[idx, b_idx, h_idx, offsets[:, None], :].set(vq)
+            ks_all = ks_all.at[idx, b_idx, h_idx, offsets[:, None]].set(ksc)
+            vs_all = vs_all.at[idx, b_idx, h_idx, offsets[:, None]].set(vsc)
+            k_cache = dequantize_kv(
+                jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(ks_all, idx, 0, keepdims=False),
+            )
+            v_cache = dequantize_kv(
+                jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(vs_all, idx, 0, keepdims=False),
+            )
+            cc = (k_all, v_all, ks_all, vs_all)
+        else:
+            k_all, v_all = cc
+            k_all = k_all.at[idx, b_idx, h_idx, offsets[:, None], :].set(k[:, :, 0, :])
+            v_all = v_all.at[idx, b_idx, h_idx, offsets[:, None], :].set(v[:, :, 0, :])
+            k_cache = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
+            v_cache = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
+            cc = (k_all, v_all)
         attn = _attend(q, k_cache, v_cache, mask, scale)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nq * hd)
         h = h + _dense(attn, p["o_proj"])
 
         x = rms_norm(h, p["post_attention_layernorm"], eps)
         h = h + _dense(_swiglu_mlp(p, x), p["down_proj"])
-        return (h, k_all, v_all), None
+        return (h, cc), None
 
     L = cfg.num_hidden_layers
-    (h, new_k, new_v), _ = jax.lax.scan(
+    (h, new_cc), _ = jax.lax.scan(
         layer_fn,
-        (inputs_embeds, cache.k, cache.v),
+        (inputs_embeds, tuple(cache)),
         (params["layers"], jnp.arange(L, dtype=jnp.int32)),
     )
     h = rms_norm(h, params["norm"], eps)
-    return h, KVCache(new_k, new_v)
+    return h, type(cache)(*new_cc)
 
 
 def activation_stats(params: Params, cfg: TalkerConfig, inputs_embeds: jnp.ndarray):

@@ -50,6 +50,7 @@ def _talker_step_kernel(
     eps: float,
     block_t: int,
     sample: dict | None,  # static: temperature/top_k/rep_penalty/eos_id
+    kv_quant: bool,  # int8 cache + per-row f32 scale stream
     *refs,
 ):
     """Kernel body. ``refs`` layout (sampling refs only present when
@@ -83,23 +84,30 @@ def _talker_step_kernel(
         h_scr VMEM [B, H] bf16, kbuf/vbuf VMEM [2, B, Hkv, block_t, D] bf16,
         sems DMA (2, 2)
     """
+    r = list(refs)
+    pos_ref = r.pop(0)
+    (qkv_w_ref, qkv_s_ref, o_w_ref, o_s_ref, gu_w_ref, gu_s_ref,
+     d_w_ref, d_s_ref, iln_ref, pln_ref, qn_ref, kn_ref,
+     cos_ref, sin_ref, x_ref, offs_ref) = r[:16]
+    del r[:16]
     if sample is not None:
-        (pos_ref,
-         qkv_w_ref, qkv_s_ref, o_w_ref, o_s_ref, gu_w_ref, gu_s_ref,
-         d_w_ref, d_s_ref, iln_ref, pln_ref, qn_ref, kn_ref,
-         cos_ref, sin_ref, x_ref, offs_ref,
-         head_w_ref, head_s_ref, fnorm_ref, supp_ref, seen_ref,
-         k_hbm, v_hbm,
-         h_out_ref, k_out_ref, v_out_ref, code_out_ref,
-         h_scr, kbuf, vbuf, sems) = refs
-    else:
-        (pos_ref,
-         qkv_w_ref, qkv_s_ref, o_w_ref, o_s_ref, gu_w_ref, gu_s_ref,
-         d_w_ref, d_s_ref, iln_ref, pln_ref, qn_ref, kn_ref,
-         cos_ref, sin_ref, x_ref, offs_ref,
-         k_hbm, v_hbm,
-         h_out_ref, k_out_ref, v_out_ref,
-         h_scr, kbuf, vbuf, sems) = refs
+        head_w_ref, head_s_ref, fnorm_ref, supp_ref, seen_ref = r[:5]
+        del r[:5]
+    k_hbm, v_hbm = r[:2]
+    del r[:2]
+    if kv_quant:
+        ks_hbm, vs_hbm = r[:2]
+        del r[:2]
+    h_out_ref, k_out_ref, v_out_ref = r[:3]
+    del r[:3]
+    if sample is not None:
+        code_out_ref = r.pop(0)
+    h_scr, kbuf, vbuf = r[:3]
+    del r[:3]
+    if kv_quant:
+        ksbuf, vsbuf = r[:2]
+        del r[:2]
+    (sems,) = r
     H, D, NQ, NKV, I, B = (
         shapes[k] for k in ("H", "D", "NQ", "NKV", "I", "B")
     )
@@ -112,21 +120,33 @@ def _talker_step_kernel(
 
     def read(slot, blk):
         start = blk * block_t
-        kd = pltpu.make_async_copy(
-            k_hbm.at[l, :, :, pl.ds(start, block_t), :], kbuf.at[slot],
-            sems.at[slot, 0],
-        )
-        vd = pltpu.make_async_copy(
-            v_hbm.at[l, :, :, pl.ds(start, block_t), :], vbuf.at[slot],
-            sems.at[slot, 1],
-        )
-        return kd, vd
+        cps = [
+            pltpu.make_async_copy(
+                k_hbm.at[l, :, :, pl.ds(start, block_t), :], kbuf.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[l, :, :, pl.ds(start, block_t), :], vbuf.at[slot],
+                sems.at[slot, 1],
+            ),
+        ]
+        if kv_quant:
+            cps += [
+                pltpu.make_async_copy(
+                    ks_hbm.at[l, :, :, pl.ds(start, block_t)], ksbuf.at[slot],
+                    sems.at[slot, 2],
+                ),
+                pltpu.make_async_copy(
+                    vs_hbm.at[l, :, :, pl.ds(start, block_t)], vsbuf.at[slot],
+                    sems.at[slot, 3],
+                ),
+            ]
+        return cps
 
     @pl.when(n_valid > 0)
     def _():
-        kd, vd = read(0, 0)
-        kd.start()
-        vd.start()
+        for c in read(0, 0):
+            c.start()
 
     @pl.when(l == 0)
     def _():
@@ -193,13 +213,11 @@ def _talker_step_kernel(
 
         @pl.when(b + 1 < n_valid)
         def _():
-            kd, vd = read(1 - slot, b + 1)
-            kd.start()
-            vd.start()
+            for c in read(1 - slot, b + 1):
+                c.start()
 
-        kd, vd = read(slot, b)
-        kd.wait()
-        vd.wait()
+        for c in read(slot, b):
+            c.wait()
         # Mosaic matmuls allow at most ONE batch dim — merge (B, NKV)
         k_blk = kbuf[slot].astype(jnp.float32).reshape(B * NKV, block_t, D)
         v_blk = vbuf[slot].astype(jnp.float32).reshape(B * NKV, block_t, D)
@@ -208,6 +226,10 @@ def _talker_step_kernel(
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).reshape(B, NKV, G, block_t)
+        if kv_quant:
+            # int8 rows: fold the per-row K scale into the scores (cheaper
+            # than dequantizing the whole [*, D] block elementwise)
+            s = s * ksbuf[slot][:, :, None, :]
         t_idx = b * block_t + jax.lax.broadcasted_iota(
             jnp.int32, (B, NKV, G, block_t), 3
         )
@@ -216,8 +238,13 @@ def _talker_step_kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         s_l = s_l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if kv_quant:
+            # fold the per-row V scale into the probs before the V matmul
+            pv = p * vsbuf[slot][:, :, None, :]
+        else:
+            pv = p
         acc = acc * alpha + jax.lax.dot_general(
-            p.reshape(B * NKV, G, block_t), v_blk,
+            pv.reshape(B * NKV, G, block_t), v_blk,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).reshape(B, NKV, G, D)
@@ -416,6 +443,8 @@ def talker_decode_step(
     seed=None,  # [2] int32 (sampling only)
     suppress_add=None,  # [1, V] f32 additive mask (sampling only)
     seen=None,  # [1, V] f32, 1.0 = seen (sampling only)
+    k_scale=None,  # [L, B, Hkv, T] f32 — int8 cache row scales (KVCacheQ)
+    v_scale=None,
 ):
     """One fused decode step (any static batch).
 
@@ -446,10 +475,13 @@ def talker_decode_step(
     def nrm(w):  # [L, C] -> [L, 1, C] f32
         return w.astype(jnp.float32)[:, None, :]
 
+    kv_quant = k_scale is not None
+    assert kv_quant == (k_cache.dtype == jnp.int8)
     blk = lambda shape: pl.BlockSpec(shape, lambda l, *_: (l,) + (0,) * (len(shape) - 1))
     const = lambda shape: pl.BlockSpec(shape, lambda l, *_: (0,) * len(shape))
     kernel = functools.partial(
-        _talker_step_kernel, s, mode, float(cfg.rms_norm_eps), block_t, sample
+        _talker_step_kernel, s, mode, float(cfg.rms_norm_eps), block_t, sample,
+        kv_quant,
     )
     qkv_w, qkv_s = _wq(layers["qkv_proj"])
     o_w, o_s = _wq(layers["o_proj"])
@@ -516,22 +548,30 @@ def talker_decode_step(
         out_shape.append(jax.ShapeDtypeStruct((1, 128), jnp.int32))
         scalars = [jnp.concatenate([scalars[0], seed.astype(jnp.int32)])]
 
+    kv_dtype = jnp.int8 if kv_quant else jnp.bfloat16
+    scratch = [
+        pltpu.VMEM((B, H), jnp.bfloat16),
+        pltpu.VMEM((2, B, NKV, block_t, D), kv_dtype),
+        pltpu.VMEM((2, B, NKV, block_t, D), kv_dtype),
+    ]
+    hbm_operands = [k_cache, v_cache]
+    n_any = 2
+    if kv_quant:
+        scratch += [
+            pltpu.VMEM((2, B, NKV, block_t), jnp.float32),
+            pltpu.VMEM((2, B, NKV, block_t), jnp.float32),
+        ]
+        hbm_operands += [k_scale, v_scale]
+        n_any = 4
+    scratch.append(pltpu.SemaphoreType.DMA((2, 4 if kv_quant else 2)))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(L,),
-            in_specs=in_specs + [
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=in_specs + [pl.BlockSpec(memory_space=pl.ANY)] * n_any,
             out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((B, H), jnp.bfloat16),
-                pltpu.VMEM((2, B, NKV, block_t, D), jnp.bfloat16),
-                pltpu.VMEM((2, B, NKV, block_t, D), jnp.bfloat16),
-                pltpu.SemaphoreType.DMA((2, 2)),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -539,7 +579,7 @@ def talker_decode_step(
             vmem_limit_bytes=120 * 2**20,
         ),
         interpret=interpret,
-    )(*scalars, *operands, k_cache, v_cache)
+    )(*scalars, *operands, *hbm_operands)
     if sample is not None:
         h, k_new, v_new, code = out
         return h[:, None], k_new, v_new, code[:, 0]

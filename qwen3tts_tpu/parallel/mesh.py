@@ -156,19 +156,18 @@ def shard_cp(params: Any, mesh: Mesh) -> Any:
 
 
 def shard_cache(cache, mesh: Mesh):
-    from ..models.talker import KVCache
-
     batch, hkv = cache.k.shape[1], cache.k.shape[2]
     dp = mesh.shape.get("dp", 1)
     tp = mesh.shape.get("tp", 1)
-    s = _named(
-        mesh,
-        cache_spec(
-            batch_sharded=batch % dp == 0 and dp > 1,
-            heads_sharded=hkv % tp == 0,
-        ),
+    spec = cache_spec(
+        batch_sharded=batch % dp == 0 and dp > 1,
+        heads_sharded=hkv % tp == 0,
     )
-    return KVCache(jax.device_put(cache.k, s), jax.device_put(cache.v, s))
+    s5 = _named(mesh, spec)
+    s4 = _named(mesh, P(*tuple(spec)[:4]))  # scale leaves: [L, B, Hkv, T]
+    return type(cache)(
+        *(jax.device_put(a, s5 if a.ndim == 5 else s4) for a in cache)
+    )
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

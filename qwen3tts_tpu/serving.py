@@ -69,6 +69,7 @@ class ContinuousBatcher:
         cache_len: int | None = None,
         dtype=jnp.bfloat16,
         mesh=None,
+        kv_quant: bool = False,
     ):
         self.talker_params = talker_params
         self.cp_params = cp_params
@@ -81,6 +82,7 @@ class ContinuousBatcher:
         self.max_frames = max_frames
         self.dtype = dtype
         self.mesh = mesh
+        self.kv_quant = kv_quant
         self.cache_len = cache_len
         self.total_iterations = 0  # lockstep decode iterations executed
 
@@ -126,7 +128,9 @@ class ContinuousBatcher:
         )
         slot_req = list(range(B))  # slot -> request idx
         slot_caps = caps[:B].copy()
-        cache = tk.make_cache(self.talker_cfg, B, cache_len, self.dtype)
+        cache = tk.make_cache(
+            self.talker_cfg, B, cache_len, self.dtype, quantized=self.kv_quant
+        )
         if self.mesh is not None:
             from .parallel import mesh as pm
 
@@ -268,6 +272,7 @@ class Qwen3TTSServer:
         cache_len: int | None = None,
         dtype=jnp.bfloat16,
         mesh=None,
+        kv_quant: bool = False,
     ):
         import threading
 
@@ -287,6 +292,7 @@ class Qwen3TTSServer:
         )
         self.dtype = dtype
         self.mesh = mesh
+        self.kv_quant = kv_quant
         self.total_iterations = 0
 
         self._lock = threading.Condition()
@@ -349,7 +355,9 @@ class Qwen3TTSServer:
 
     def _empty_carry(self):
         B, h = self.slots, self.talker_cfg.hidden_size
-        cache = tk.make_cache(self.talker_cfg, B, self.cache_len, self.dtype)
+        cache = tk.make_cache(
+            self.talker_cfg, B, self.cache_len, self.dtype, quantized=self.kv_quant
+        )
         if self.mesh is not None:
             from .parallel import mesh as pm
 

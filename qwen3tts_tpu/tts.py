@@ -198,6 +198,7 @@ class Qwen3TTSModel:
         tokenizer=None,
         dtype=jnp.bfloat16,
         mesh=None,
+        kv_cache_dtype: str = "bf16",
     ):
         if config.talker_config is None:
             raise Qwen3TTSError("Talker config is required")
@@ -212,6 +213,12 @@ class Qwen3TTSModel:
         self.speaker_encoder_params = speaker_encoder_params
         self.tokenizer = tokenizer
         self.dtype = dtype
+        if kv_cache_dtype not in ("bf16", "int8"):
+            raise Qwen3TTSError(f"Unsupported kv_cache_dtype: {kv_cache_dtype!r}")
+        # int8 KV cache (per-row scales): halves attention's HBM traffic in
+        # the decode kernels — the dominant per-sequence cost of batched
+        # serving. Opt-in; int8 rounding perturbs attention by ~0.4% rel.
+        self.kv_quant = kv_cache_dtype == "int8"
         # optional jax.sharding.Mesh ("dp", "tp"): tensor-parallel serving
         # over ICI (extension beyond the single-device reference, SURVEY §2.4)
         self.mesh = mesh
@@ -250,6 +257,7 @@ class Qwen3TTSModel:
         fuse: bool = False,
         quantize: str | None = None,
         mesh=None,
+        kv_cache_dtype: str = "bf16",
     ) -> "Qwen3TTSModel":
         """Load config.json + safetensors (+ speech_tokenizer/, tokenizer)
         from a local directory (reference Qwen3.swift:1382-1495).
@@ -265,6 +273,11 @@ class Qwen3TTSModel:
         halving decode HBM traffic — measured 1.4x faster single-stream
         decode on v5e with near-lossless numerics. Works on any checkpoint
         (int4 checkpoints are dequantized first).
+        ``kv_cache_dtype='int8'`` stores decode KV caches as int8 with
+        per-row f32 scales, halving attention's HBM read traffic in the
+        decode megakernels (the dominant per-sequence cost of batched
+        serving; ~0.4% relative attention perturbation — no reference
+        counterpart, TPU-side extension).
         ``mesh``: a ``jax.sharding.Mesh`` with ("dp", "tp") axes
         (parallel/mesh.py:make_mesh) — the talker + code predictor are
         TP-sharded over it (Megatron column/row layout, XLA collectives over
@@ -336,6 +349,7 @@ class Qwen3TTSModel:
             tokenizer=tokenizer,
             dtype=dtype,
             mesh=mesh,
+            kv_cache_dtype=kv_cache_dtype,
         )
 
     # ------------------------------------------------------------------
@@ -601,7 +615,9 @@ class Qwen3TTSModel:
         # round the cache up to 128 so the Pallas decode-attention kernel
         # (128-row blocks) is eligible
         cache_len = -(-(p_bucket + max_frames) // 128) * 128
-        cache = tk_mod.make_cache(self.talker_cfg, 1, cache_len, self.dtype)
+        cache = tk_mod.make_cache(
+            self.talker_cfg, 1, cache_len, self.dtype, quantized=self.kv_quant
+        )
         if self.mesh is not None:
             from .parallel import mesh as pm
 
@@ -1087,7 +1103,9 @@ class Qwen3TTSModel:
         caps = [self._effective_max_tokens(t, max_tokens) for t in texts]
         max_frames = pad_to_bucket(max(caps), GEN_BUCKETS)
         cache_len = -(-(p_bucket + max_frames) // 128) * 128
-        cache = tk_mod.make_cache(self.talker_cfg, B, cache_len, self.dtype)
+        cache = tk_mod.make_cache(
+            self.talker_cfg, B, cache_len, self.dtype, quantized=self.kv_quant
+        )
         if self.mesh is not None:
             from .parallel import mesh as pm
 
@@ -1582,6 +1600,7 @@ class TTSService:
                         tts_pad_embed=pad,
                         dtype=m.dtype,
                         mesh=m.mesh,
+                        kv_quant=m.kv_quant,
                         **self._kw,
                     )
         cap = m._effective_max_tokens(text, max_tokens)

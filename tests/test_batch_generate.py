@@ -24,14 +24,15 @@ def params():
     return talker, cpp
 
 
-def _single(params, prefill, plen, trailing, tlen, max_steps, max_frames=12):
+def _single(params, prefill, plen, trailing, tlen, max_steps, max_frames=12,
+            kv_quant=False):
     talker, cpp = params
     return gen.generate_codes(
         talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=GREEDY,
         prefill_embeds=prefill[None], prefill_len=jnp.int32(plen),
         trailing_embeds=trailing, trailing_len=jnp.int32(tlen),
         tts_pad_embed=jnp.zeros((TINY_TALKER.hidden_size,)),
-        cache=tk.make_cache(TINY_TALKER, 1, 64, jnp.float32),
+        cache=tk.make_cache(TINY_TALKER, 1, 64, jnp.float32, quantized=kv_quant),
         max_steps=jnp.int32(max_steps), max_frames=max_frames,
         key=jax.random.PRNGKey(0),
     )
@@ -152,7 +153,8 @@ class TestContinuousBatching:
             items.append(BatchItem(prefill_embeds=p, trailing=t, max_steps=caps[i]))
         return items
 
-    def _run(self, params, items, slots, chunk=3, max_frames=16):
+    def _run(self, params, items, slots, chunk=3, max_frames=16,
+             kv_quant=False):
         from qwen3tts_tpu.serving import ContinuousBatcher
 
         talker, cpp = params
@@ -160,9 +162,28 @@ class TestContinuousBatching:
             talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=GREEDY,
             tts_pad_embed=jnp.zeros((TINY_TALKER.hidden_size,)),
             slots=slots, chunk_frames=chunk, max_frames=max_frames,
-            dtype=jnp.float32,
+            dtype=jnp.float32, kv_quant=kv_quant,
         )
         return b.run(items), b
+
+    def test_quantized_cache_admitted_matches_single(self, params):
+        """int8 KV cache (KVCacheQ): the admit_slot cache surgery scatters
+        all four cache leaves (k/v + row scales); an admitted request must
+        reproduce the quantized single-sequence greedy run exactly."""
+        items = self._items(3, lens=[6, 5, 7], caps=[4, 4, 5])
+        outs, _ = self._run(params, items, slots=2, kv_quant=True)
+        assert len(outs) == 3
+        for i, it in enumerate(items):
+            ref = _single(
+                params, it.prefill_embeds[0], it.prefill_embeds.shape[1],
+                it.trailing, 3, max_steps=it.max_steps, max_frames=16,
+                kv_quant=True,
+            )
+            n = int(ref.n_frames)
+            assert outs[i].n_frames == n, f"request {i}"
+            np.testing.assert_array_equal(
+                outs[i].codes, np.asarray(ref.codes)[:n], err_msg=f"request {i}"
+            )
 
     def test_admitted_request_matches_single_run(self, params):
         """A request admitted into a reused slot must produce exactly the

@@ -258,3 +258,103 @@ def test_sample_mode_respects_suppress_and_seed(setup):
         pytest.skip(f"interpret-mode PRNG unsupported here: {e}")
     assert int(c1[0]) in allowed
     assert int(c2[0]) in allowed
+
+
+def test_int8_kv_cache_parity_and_quality(setup):
+    """int8 KV cache (KVCacheQ): kernel step == XLA step on the SAME
+    quantized cache (both dequantize identically), and the quantized XLA
+    path stays close to the bf16 XLA path (int8 rounding only)."""
+    cfg, params = setup
+    H, pos, t_max = cfg.hidden_size, 130, 384
+    prefill = (
+        jax.random.normal(jax.random.PRNGKey(3), (1, pos, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+    x = (
+        jax.random.normal(jax.random.PRNGKey(5), (1, 1, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+    offset = jnp.int32(pos)
+
+    cache_q = tk.make_cache(cfg, 1, t_max, quantized=True)
+    assert cache_q.quantized and cache_q.k.dtype == jnp.int8
+    _, cache_q = tk.forward(params, cfg, prefill, cache_q, jnp.int32(0))
+    h_q, cache_q2 = tk.forward(params, cfg, x, cache_q, offset)
+
+    cache_b = tk.make_cache(cfg, 1, t_max, jnp.bfloat16)
+    _, cache_b = tk.forward(params, cfg, prefill, cache_b, jnp.int32(0))
+    h_b, _ = tk.forward(params, cfg, x, cache_b, offset)
+
+    # quality: int8 KV ~ bf16 KV (per-row scales -> sub-1% attention error)
+    hq = np.asarray(h_q, np.float32)
+    hb = np.asarray(h_b, np.float32)
+    rel = np.abs(hq - hb).max() / (np.abs(hb).mean() + 1e-6)
+    assert rel < 0.1, f"int8 KV vs bf16 KV: scaled {rel:.4f}"
+
+    # parity: kernel on the same quantized cache == the XLA step above
+    positions = jnp.full((1, 1), pos, jnp.int32)
+    cos, sin = mrope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta, cfg.mrope_section, jnp.bfloat16
+    )
+    h_k, k_new, v_new = talker_decode_step(
+        params, cfg, x, cache_q.k, cache_q.v, offset, cos, sin,
+        mode="wo_bf16", interpret=True,
+        k_scale=cache_q.ks, v_scale=cache_q.vs,
+    )
+    h_k = rms_norm(h_k, params["norm"], cfg.rms_norm_eps)
+    hk = np.asarray(h_k, np.float32)
+    rel = np.abs(hk - hq).max() / (np.abs(hq).mean() + 1e-6)
+    assert rel < 0.15, f"kernel vs XLA on int8 cache: scaled {rel:.4f}"
+    # appended rows agree after dequantization (the kernel's k rows carry
+    # bf16 rounding vs XLA's, so raw int8 codes may differ by +-1)
+    kq, ks = tk.quantize_kv_rows(k_new)
+    row_k = np.asarray(tk.dequantize_kv(kq, ks)[:, 0], np.float32)
+    row_x = np.asarray(
+        tk.dequantize_kv(
+            cache_q2.k[:, 0, :, pos, :], cache_q2.ks[:, 0, :, pos]
+        ),
+        np.float32,
+    )
+    d = np.abs(row_k - row_x).max() / (np.abs(row_x).mean() + 1e-6)
+    assert d < 0.1, f"appended k rows: scaled {d:.4f}"
+
+
+def test_int8_kv_batched_step_parity(setup):
+    """B=2 int8-KV kernel step with per-sequence offsets == XLA
+    forward_batched_step on the same quantized cache."""
+    cfg, params = setup
+    H, B = cfg.hidden_size, 2
+    cache = tk.make_cache(cfg, B, 256, quantized=True)
+    pre = (
+        jax.random.normal(jax.random.PRNGKey(3), (B, 90, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+    _, cache = tk.forward(params, cfg, pre, cache, jnp.int32(0))
+    offsets = jnp.array([37, 90], jnp.int32)
+    x = (
+        jax.random.normal(jax.random.PRNGKey(5), (B, 1, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+
+    h_x, cache_x = tk.forward_batched_step(params, cfg, x, cache, offsets)
+
+    cos, sin = mrope_cos_sin(
+        offsets[:, None], cfg.head_dim, cfg.rope_theta, cfg.mrope_section,
+        jnp.bfloat16,
+    )
+    h_k, k_new, v_new = talker_decode_step(
+        params, cfg, x, cache.k, cache.v, offsets, cos, sin, interpret=True,
+        k_scale=cache.ks, v_scale=cache.vs,
+    )
+    h_k = rms_norm(h_k, params["norm"], cfg.rms_norm_eps)
+
+    hx = np.asarray(h_x, np.float32)
+    hk = np.asarray(h_k, np.float32)
+    rel = np.abs(hk - hx).max() / (np.abs(hx).mean() + 1e-6)
+    assert rel < 0.15, f"batched int8-KV hidden mismatch: scaled {rel:.4f}"
+    for b in range(B):
+        kx = tk.dequantize_kv(
+            cache_x.k[:, b, :, int(offsets[b]), :],
+            cache_x.ks[:, b, :, int(offsets[b])],
+        )
+        kk = np.asarray(k_new[:, b], np.float32)
+        d = np.abs(kk - np.asarray(kx, np.float32)).max() / (
+            np.abs(np.asarray(kx, np.float32)).mean() + 1e-6
+        )
+        assert d < 0.1, f"k row mismatch seq {b}: scaled {d:.4f}"

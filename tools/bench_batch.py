@@ -5,7 +5,7 @@ eligible) for a fixed 66 frames per sequence and reports codec tokens/s.
 This is the reproducible source of the batch-throughput number quoted in
 README.md (the reference is batch-1 — no counterpart exists there).
 
-Usage: python tools/bench_batch.py [B] [--bf16] [--no-cpk]
+Usage: python tools/bench_batch.py [B] [--bf16] [--no-cpk] [--kv-int8]
 """
 
 from __future__ import annotations
@@ -37,6 +37,7 @@ def log(*a):
 def main():
     B = int(sys.argv[1]) if sys.argv[1:] and sys.argv[1].isdigit() else 8
     bf16 = "--bf16" in sys.argv
+    kv_int8 = "--kv-int8" in sys.argv
     if "--no-cpk" in sys.argv:
         os.environ["QWEN3TTS_NO_CP_KERNEL"] = "1"
     cfg = _flagship_06b()
@@ -56,7 +57,7 @@ def main():
         tp = quantize_decode_params_int8(tp, "codec_head")
         cpp = quantize_decode_params_int8(cpp, "lm_head")
     jax.block_until_ready(cpp["norm"])
-    log(f"B={B} init {time.time() - t0:.1f}s ({'bf16' if bf16 else 'int8'})")
+    log(f"B={B} init {time.time() - t0:.1f}s ({'bf16' if bf16 else 'int8'}{' +kv-int8' if kv_int8 else ''})")
 
     sampling = gen.SamplingConfig(0.9, 50, 1.0, 1.05, forbid_eos=True)
     p_bucket = gen.pad_to_bucket(PREFILL_LEN)
@@ -75,7 +76,7 @@ def main():
             trailing_embeds=trailing,
             trailing_lens=jnp.full((B,), 8, jnp.int32),
             tts_pad_embed=jnp.zeros((h,), jnp.bfloat16),
-            cache=tk.make_cache(cfg, B, cache_len, jnp.bfloat16),
+            cache=tk.make_cache(cfg, B, cache_len, jnp.bfloat16, quantized=kv_int8),
             max_steps=jnp.full((B,), FRAMES, jnp.int32),
             max_frames=FRAMES,
             key=key,
@@ -99,9 +100,9 @@ def main():
         f"{toks / dt:.0f} tok/s/chip, per-seq RTF {dt / per_seq_audio:.3f}"
     )
     print(
-        '{"metric": "batch%d_codec_tok_s_0.6b_%s", "value": %.0f, '
+        '{"metric": "batch%d_codec_tok_s_0.6b_%s%s", "value": %.0f, '
         '"unit": "codec_tok_per_s_per_chip"}'
-        % (B, "bf16" if bf16 else "int8", toks / dt)
+        % (B, "bf16" if bf16 else "int8", "_kvint8" if kv_int8 else "", toks / dt)
     )
 
 
