@@ -19,7 +19,13 @@ from ..ops.quant import PackedLinear, pack_quantized
 
 
 def _rs(seed: int, tag: str) -> np.random.Generator:
-    return np.random.default_rng(abs(hash((seed, tag))) % (2**63))
+    # zlib.crc32, NOT hash(): Python string hashing is salted per process
+    # (PYTHONHASHSEED), which made synthetic weights differ between runs —
+    # cross-process comparisons (bench reruns, validation tools) need the
+    # same weights for the same (seed, tag)
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(f"{seed}:{tag}".encode()))
 
 
 def _mat(seed, tag, *shape, scale=None, dtype=None):
