@@ -54,6 +54,18 @@ class BatchResult(NamedTuple):
     tokens: jnp.ndarray  # [B, max_frames]
 
 
+def _use_talker_sample_kernel_batch(talker_params, talker_cfg, sampling, B) -> bool:
+    """Fused talker step + in-kernel row-parallel code0 sampler for the
+    lockstep batch (same gates as the B=1 ``_use_talker_sample_kernel``
+    plus kernel support at this batch size)."""
+    from ..ops.talker_kernel import step_supported
+    from .generate import _use_talker_sample_kernel
+
+    return _use_talker_sample_kernel(
+        talker_params, talker_cfg, sampling
+    ) and step_supported(talker_params, talker_cfg, batch=B)
+
+
 def _sample_batch(key, logits, sampling, seen, suppress_mask, eos_id):
     """Batched sampler: thin wrapper over the (batch-general) single-path
     sampler so the two paths can never diverge. logits [B,V] -> tokens [B]."""
@@ -75,19 +87,25 @@ def _sample_batch(key, logits, sampling, seen, suppress_mask, eos_id):
 
 def _frame_batch(
     talker_params, cp_params, talker_cfg, cp_cfg, sampling, suppress_mask,
-    hidden_last, logits_last, seen, key,
+    hidden_last, logits_last, seen, key, code0=None, k_cp=None,
 ):
     """Sample codebook 0 for every sequence + batched code-predictor frame.
 
     Returns (code0 [B], rest [B, 15], is_eos [B], seen', key', codec_sum).
     ``codec_sum`` ([B, h] f32 or None) short-circuits the embedding gathers
     in ``_next_input_batch`` when the fused CP kernel produced it.
+    When ``code0`` is given (sampled inside the fused talker kernel,
+    tk.forward_batched_step_sample) the caller has already split ``key``
+    and passes the CP subkey as ``k_cp``; ``logits_last`` may be None.
     """
     from .generate import _cpk_mode, _use_cp_kernel
 
-    key, k_tok, k_cp = jax.random.split(key, 3)
     eos_id = talker_cfg.codec_eos_token_id
-    code0 = _sample_batch(k_tok, logits_last, sampling, seen, suppress_mask, eos_id)
+    if code0 is None:
+        key, k_tok, k_cp = jax.random.split(key, 3)
+        code0 = _sample_batch(
+            k_tok, logits_last, sampling, seen, suppress_mask, eos_id
+        )
     B = code0.shape[0]
     seen = seen.at[jnp.arange(B), code0].set(True)
     is_eos = code0 == eos_id
@@ -218,20 +236,68 @@ def generate_chunk_batch(
     # until_step only bounds this chunk's lockstep iterations (it keeps
     # growing past max_frames under continuous batching)
     limit = until_step
+    eos_id = talker_cfg.codec_eos_token_id
+    B = trailing_embeds.shape[0]
+    from .generate import _use_cp_kernel
+
+    use_tks = (
+        _use_talker_sample_kernel_batch(talker_params, talker_cfg, sampling, B)
+        and carry.cache.k.shape[3] % 128 == 0
+    )
+    # same cheap per-frame seed derivation as the B=1 fused loop
+    # (models/generate.py): with both samplers in-kernel the only per-frame
+    # key material is two int32 words per consumer
+    cheap_seeds = use_tks and _use_cp_kernel(cp_params, cp_cfg, talker_cfg, sampling)
+    if use_tks:
+        supp = suppress_mask
+        if sampling.forbid_eos:
+            supp = supp.at[eos_id].set(True)
+        suppress_add = jnp.where(supp, jnp.float32(-1e30), jnp.float32(0.0))
 
     def cond(c: BatchCarry):
         active = ~c.done & (c.steps < max_steps)
         return jnp.any(active) & (c.step < limit)
 
     def body(c: BatchCarry) -> BatchCarry:
-        hidden, cache = tk.forward_batched_step(
-            talker_params, talker_cfg, c.cur_input, c.cache, c.offsets
-        )
-        logits_last = tk.codec_logits(talker_params, hidden)[:, 0]
-        code0, rest, is_eos, seen, key, codec_sum = _frame_batch(
-            talker_params, cp_params, talker_cfg, cp_cfg, sampling, suppress_mask,
-            hidden[:, 0], logits_last, c.seen, c.key,
-        )
+        if use_tks:
+            from .generate import _seed_words
+
+            if cheap_seeds:
+                sw = _seed_words(c.key)
+                st = c.step.astype(jnp.int32)
+                seed_tok = jnp.stack(
+                    [sw[0] + st * jnp.int32(-1640531527),  # 0x9E3779B9
+                     sw[1] ^ (st * jnp.int32(-2048144789))]  # 0x85EBCA6B
+                )
+                k_cp = jnp.stack(
+                    [sw[0] ^ (st * jnp.int32(-1028477387)),  # 0xC2B2AE3D
+                     sw[1] + st * jnp.int32(668265263)]
+                )
+                key = c.key  # unsplit: kernels consume raw words only
+            else:
+                key, k_tok, k_cp = jax.random.split(c.key, 3)
+                seed_tok = _seed_words(k_tok)
+            hidden, cache, code0 = tk.forward_batched_step_sample(
+                talker_params, talker_cfg, c.cur_input, c.cache, c.offsets,
+                seen=c.seen, suppress_add=suppress_add, seed=seed_tok,
+                temperature=sampling.temperature, top_k=sampling.top_k,
+                repetition_penalty=sampling.repetition_penalty,
+                eos_token_id=None if sampling.forbid_eos else eos_id,
+            )
+            code0, rest, is_eos, seen, key, codec_sum = _frame_batch(
+                talker_params, cp_params, talker_cfg, cp_cfg, sampling,
+                suppress_mask, hidden[:, 0], None, c.seen, key,
+                code0=code0, k_cp=k_cp,
+            )
+        else:
+            hidden, cache = tk.forward_batched_step(
+                talker_params, talker_cfg, c.cur_input, c.cache, c.offsets
+            )
+            logits_last = tk.codec_logits(talker_params, hidden)[:, 0]
+            code0, rest, is_eos, seen, key, codec_sum = _frame_batch(
+                talker_params, cp_params, talker_cfg, cp_cfg, sampling,
+                suppress_mask, hidden[:, 0], logits_last, c.seen, c.key,
+            )
         # a sequence records this frame iff it was active and didn't hit EOS
         active = ~c.done & (c.steps < max_steps)
         record = active & ~is_eos

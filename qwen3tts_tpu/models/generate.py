@@ -109,6 +109,10 @@ def _use_talker_sample_kernel(talker_params, talker_cfg, sampling) -> bool:
 
     if os.environ.get("QWEN3TTS_NO_TALKER_KERNEL"):
         return False
+    if os.environ.get("QWEN3TTS_NO_SAMPLE_KERNEL"):
+        # keep the fused step kernel but sample through the XLA head+sampler
+        # (A/B knob: the in-kernel tail wins at B=1, costs at large B)
+        return False
     if sampling.top_p < 1.0 or sampling.ref_exact_top_p:
         return False
     if jax.devices()[0].platform not in ("tpu", "axon"):

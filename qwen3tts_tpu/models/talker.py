@@ -544,6 +544,75 @@ def forward_step_sample(
     return h, _append_cache_rows(cache, k_new, v_new, offset), code0
 
 
+def _scatter_append_batched(cache, cfg: TalkerConfig, k_new, v_new, offsets):
+    """Append each sequence's new k/v row ([L, B, Hkv, D]) at its own cache
+    offset (per-sequence scatter; quantizes rows first for int8 caches)."""
+    B = k_new.shape[1]
+    bb = jnp.arange(B)[None, :, None]
+    ll = jnp.arange(cfg.num_hidden_layers)[:, None, None]
+    hh = jnp.arange(cfg.num_key_value_heads)[None, None, :]
+    off_b = offsets[None, :, None]
+    if cache.quantized:
+        kq, ksc = quantize_kv_rows(k_new)  # [L, B, Hkv, D] -> + [L, B, Hkv]
+        vq, vsc = quantize_kv_rows(v_new)
+        return KVCacheQ(
+            cache.k.at[ll, bb, hh, off_b, :].set(kq),
+            cache.v.at[ll, bb, hh, off_b, :].set(vq),
+            cache.ks.at[ll, bb, hh, off_b].set(ksc),
+            cache.vs.at[ll, bb, hh, off_b].set(vsc),
+        )
+    return KVCache(
+        cache.k.at[ll, bb, hh, off_b, :].set(k_new),
+        cache.v.at[ll, bb, hh, off_b, :].set(v_new),
+    )
+
+
+def forward_batched_step_sample(
+    params: Params,
+    cfg: TalkerConfig,
+    inputs_embeds: jnp.ndarray,  # [B, 1, h]
+    cache: KVCache,
+    offsets: jnp.ndarray,  # [B] int32: per-sequence cache positions
+    *,
+    seen: jnp.ndarray,  # [B, vocab] bool
+    suppress_add: jnp.ndarray,  # [vocab] f32 additive mask (-1e30 suppressed)
+    seed: jnp.ndarray,  # [2] int32 PRNG seed words
+    temperature: float,
+    top_k: int,
+    repetition_penalty: float,
+    eos_token_id: int | None,
+):
+    """Batched decode step + codec head + per-row code0 sampler as ONE
+    Pallas program (the batched twin of :func:`forward_step_sample`).
+
+    Only valid when ``forward_batched_step`` would take the fused-kernel
+    path (caller gates on ``ops.talker_kernel.step_supported(batch=B)``).
+    Returns (hidden [B, 1, h] post-final-norm, new_cache, code0 [B])."""
+    from ..ops.talker_kernel import talker_decode_step
+
+    positions = offsets[:, None].astype(jnp.int32)
+    cos, sin = mrope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta, cfg.mrope_section,
+        inputs_embeds.dtype,
+    )
+    h, k_new, v_new, code0 = talker_decode_step(
+        params, cfg, inputs_embeds, cache.k, cache.v, offsets, cos, sin,
+        mode=_kernel_mode(params),
+        sample=dict(
+            temperature=float(temperature),
+            top_k=int(top_k),
+            rep_penalty=float(repetition_penalty),
+            eos_id=-1 if eos_token_id is None else int(eos_token_id),
+        ),
+        seed=seed,
+        suppress_add=suppress_add[None],
+        seen=seen,
+        k_scale=cache.ks if cache.quantized else None,
+        v_scale=cache.vs if cache.quantized else None,
+    )
+    return h, _scatter_append_batched(cache, cfg, k_new, v_new, offsets), code0
+
+
 def forward_batched_step(
     params: Params,
     cfg: TalkerConfig,
@@ -586,24 +655,8 @@ def forward_batched_step(
                 k_scale=cache.ks if cache.quantized else None,
                 v_scale=cache.vs if cache.quantized else None,
             )
-            # per-sequence scatter append at each sequence's own offset
-            bb = jnp.arange(B)[None, :, None]
-            ll = jnp.arange(cfg.num_hidden_layers)[:, None, None]
-            hh = jnp.arange(cfg.num_key_value_heads)[None, None, :]
-            off_b = offsets[None, :, None]
             h = rms_norm(h, params["norm"], cfg.rms_norm_eps)  # [B, 1, h]
-            if cache.quantized:
-                kq, ksc = quantize_kv_rows(k_new)  # [L, B, Hkv, D] -> + [L, B, Hkv]
-                vq, vsc = quantize_kv_rows(v_new)
-                return h, KVCacheQ(
-                    cache.k.at[ll, bb, hh, off_b, :].set(kq),
-                    cache.v.at[ll, bb, hh, off_b, :].set(vq),
-                    cache.ks.at[ll, bb, hh, off_b].set(ksc),
-                    cache.vs.at[ll, bb, hh, off_b].set(vsc),
-                )
-            k_all = cache.k.at[ll, bb, hh, off_b, :].set(k_new)
-            v_all = cache.v.at[ll, bb, hh, off_b, :].set(v_new)
-            return h, KVCache(k_all, v_all)
+            return h, _scatter_append_batched(cache, cfg, k_new, v_new, offsets)
 
     t_idx = jnp.arange(T_max, dtype=jnp.int32)
     mask = t_idx[None, None, :] <= offsets[:, None, None]  # [B, 1, T]

@@ -26,9 +26,10 @@ Matmul modes (static, same semantics as ops/cp_kernel.py):
   * "dyn_int8": per-matvec activation quant, s8 x s8 -> s32 MXU.
 
 Scope: S=1 decode with fused projections (Int8Linear or dense bf16) on
-TPU, any static batch B — single-stream serving (B=1, optional in-kernel
-codec-head sampling) and the lockstep batched decoder (per-sequence cache
-offsets, B>1). Everything else stays on the XLA scan path
+TPU, any static batch B — single-stream serving (B=1) and the lockstep
+batched decoder (per-sequence cache offsets, B>1), both with optional
+in-kernel codec-head sampling (row-parallel code0 sampler fused into the
+last grid step). Everything else stays on the XLA scan path
 (models/talker.py:forward).
 """
 
@@ -54,7 +55,7 @@ def _talker_step_kernel(
     *refs,
 ):
     """Kernel body. ``refs`` layout (sampling refs only present when
-    ``sample`` is not None; sampling requires B == 1):
+    ``sample`` is not None; works for any static B):
 
       scalar prefetch:
         pos_ref  SMEM [B+1(+2)] int32: per-seq cache offsets, max offset,
@@ -73,13 +74,13 @@ def _talker_step_kernel(
         [head_w        [H, V] int8      — sampling only]
         [head_s        [1, V] f32       — sampling only]
         [fnorm         [1, H] f32       — sampling only]
-        [supp          [1, V] f32 additive mask — sampling only]
-        [seen          [1, V] f32 1.0=seen — sampling only]
+        [supp          [1, V] f32 additive mask, shared rows — sampling only]
+        [seen          [B, V] f32 1.0=seen — sampling only]
         k_hbm, v_hbm   ANY [L, B, Hkv, T, D] bf16 (b rows 0..offs[b]-1 valid)
       outputs:
         h_out          [B, H] bf16 (pre final-norm; post-norm when sampling)
         k_out, v_out   blocked [1, B, Hkv, D] bf16 per layer
-        [code_out      [1, 128] int32, lane 0 = sampled code — sampling only]
+        [code_out      [B, 128] int32, lane 0 = sampled code — sampling only]
       scratch:
         h_scr VMEM [B, H] bf16, kbuf/vbuf VMEM [2, B, Hkv, block_t, D] bf16,
         sems DMA (2, 2)
@@ -279,7 +280,11 @@ def _talker_step_kernel(
         # --- final norm + codec head + sampler, fused into the last layer's
         # grid step (semantics: ops/sampling.py::sample_token_inner with
         # top_p == 1; the PRNG stream is the TPU core PRNG, like the CP
-        # kernel's — documented divergence from jax.random.categorical) ---
+        # kernel's — documented divergence from jax.random.categorical).
+        # Row-parallel over B: logits/penalty/top-k/Gumbel/argmax all act
+        # per lane-row, so the batched serving path samples every sequence
+        # inside the same grid step (XLA head+sampler glue was ~0.43 ms of
+        # the 5.1 ms B=32 frame). ---
         L = shapes["L"]
         V = head_s_ref.shape[-1]
         temperature = sample["temperature"]
@@ -313,7 +318,7 @@ def _talker_step_kernel(
                 )
                 logits = jnp.where(seen_ref[...] > 0, pen, logits)
 
-            lane_v = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+            lane_v = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
             if temperature <= 0:
                 z = logits
             else:
@@ -321,47 +326,65 @@ def _talker_step_kernel(
                 if eos_id >= 0:
                     eos_logit = jnp.sum(
                         jnp.where(lane_v == eos_id, z, 0.0), axis=-1, keepdims=True
-                    )
+                    )  # [B, 1]
                 if 0 < top_k < V:
                     # seed the search from the SMALLEST UNSUPPRESSED logit:
                     # including the -1e30 masked entries would leave the
                     # interval so wide the threshold lands below every real
                     # logit (filter = no-op)
-                    from .cp_kernel import topk_threshold_1row
-
                     hi0 = jnp.max(z, axis=-1, keepdims=True)
                     lo0 = jnp.min(
                         jnp.where(z > -1e29, z, hi0), axis=-1, keepdims=True
                     )
-                    lo = topk_threshold_1row(z, top_k, lo0)
+                    if B == 1:
+                        from .cp_kernel import topk_threshold_1row
+
+                        lo = topk_threshold_1row(z, top_k, lo0)
+                    else:
+                        # per-row bisection (vectorizes over B; the parallel
+                        # counting scheme above is single-row) — same
+                        # precision claim at 24 halvings of the seed interval
+                        def bs(_, lh):
+                            lo, hi = lh
+                            mid = 0.5 * (lo + hi)
+                            cnt = jnp.sum(
+                                (z >= mid).astype(jnp.float32),
+                                axis=-1, keepdims=True,
+                            )
+                            ge = cnt >= top_k
+                            return jnp.where(ge, mid, lo), jnp.where(ge, hi, mid)
+
+                        lo, _ = jax.lax.fori_loop(0, 24, bs, (lo0, hi0))
                     z = jnp.where(z >= lo, z, NEG_INF)
                 if eos_id >= 0:
                     z = jnp.where(lane_v == eos_id, eos_logit, z)
                 pltpu.prng_seed(pos_ref[B + 1], pos_ref[B + 2])
-                bits = pltpu.prng_random_bits((1, V))
+                bits = pltpu.prng_random_bits((B, V))
                 b24 = pltpu.bitcast(bits, jnp.int32) & jnp.int32(0xFFFFFF)
                 u_ = b24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
                 z = z * (1.0 / temperature) + (-jnp.log(-jnp.log(u_)))
             m_z = jnp.max(z, axis=-1, keepdims=True)
             code = jnp.min(
                 jnp.where(z == m_z, lane_v, V), axis=-1, keepdims=True
-            )
-            code_out_ref[...] = jnp.broadcast_to(code, (1, 128))
+            )  # [B, 1]
+            code_out_ref[...] = jnp.broadcast_to(code, (B, 128))
             h_out_ref[...] = hn  # post-norm hidden (CP consumes this)
 
 
 def _pick_block_t(T: int, B: int, NKV: int, D: int) -> int:
-    """Largest KV stream block (512/256/128 rows) that divides the cache
-    and keeps the 4 double-buffered KV scratch buffers within ~34 MB of
-    VMEM. Bigger blocks amortize DMA issue/wait latency and keep the
-    per-block attention matmuls MXU-sized (matters for long caches: a
-    4096-slot cache walks 8 blocks of 512 instead of 32 of 128); the
-    budget keeps large batches from eating the weight double-buffers
-    (at B=32 a 512-row block alone would need 134 MB)."""
+    """KV stream block size (512/256/128 rows): ~T/8 so the stream tracks
+    the valid prefix (a block larger than typical offsets reads rows that
+    are never attended — measured +3% frame time at B=1 with 256-row
+    blocks on a 256-slot cache), large for long caches where per-block DMA
+    issue/wait latency dominates (a 4096-slot cache walks 8 blocks of 512
+    instead of 32 of 128). Must divide T; the 4 double-buffered KV scratch
+    buffers stay within ~34 MB of VMEM (at B=32 a 512-row block alone
+    would need 134 MB)."""
     budget = 34 * 2**20
     per_row = 4 * B * NKV * D * 2  # 2 slots x (K, V), bf16
+    target = max(128, min(512, T // 8))
     for cand in (512, 256):
-        if T % cand == 0 and per_row * cand <= budget:
+        if cand <= target and T % cand == 0 and per_row * cand <= budget:
             return cand
     return 128
 
@@ -441,8 +464,8 @@ def talker_decode_step(
     interpret: bool = False,
     sample: dict | None = None,
     seed=None,  # [2] int32 (sampling only)
-    suppress_add=None,  # [1, V] f32 additive mask (sampling only)
-    seen=None,  # [1, V] f32, 1.0 = seen (sampling only)
+    suppress_add=None,  # [1, V] f32 additive mask, shared rows (sampling only)
+    seen=None,  # [B, V] f32, 1.0 = seen (sampling only)
     k_scale=None,  # [L, B, Hkv, T] f32 — int8 cache row scales (KVCacheQ)
     v_scale=None,
 ):
@@ -450,15 +473,15 @@ def talker_decode_step(
 
     Without ``sample``: returns (h [B, 1, H] pre-final-norm, k_new
     [L, B, Hkv, D], v_new [L, B, Hkv, D]).
-    With ``sample`` (dict: temperature/top_k/rep_penalty/eos_id; B must be
-    1): also runs final-norm + codec head + the code0 sampler in-kernel
-    and returns (h [1, 1, H] POST-norm, k_new, v_new, code0 [1] int32).
+    With ``sample`` (dict: temperature/top_k/rep_penalty/eos_id, any B):
+    also runs final-norm + codec head + the code0 sampler in-kernel
+    (row-parallel) and returns (h [B, 1, H] POST-norm, k_new, v_new,
+    code0 [B] int32).
     """
     B = x.shape[0]
     s = _shapes(cfg)
     s["B"] = B
     L, H, D, NKV, NQ, I = s["L"], s["H"], s["D"], s["NKV"], s["NQ"], s["I"]
-    assert sample is None or B == 1, "in-kernel sampling is single-sequence"
     T = k_cache.shape[3]
     # Attention streams ceil(max_off/block_t) valid-prefix blocks; block_t
     # adapts to (T, B) — see _pick_block_t. Small blocks track the valid
@@ -536,16 +559,16 @@ def talker_decode_step(
         V = head_w.shape[-1]
         in_specs += [
             const((H, V)), const((1, V)), const((1, H)),
-            const((1, V)), const((1, V)),
+            const((1, V)), const((B, V)),
         ]
         operands += [
             head_w, head_s.reshape(1, V).astype(jnp.float32),
             params["norm"].astype(jnp.float32)[None],
             suppress_add.astype(jnp.float32),
-            seen.astype(jnp.float32),
+            jnp.broadcast_to(seen.astype(jnp.float32), (B, V)),
         ]
-        out_specs.append(const((1, 128)))
-        out_shape.append(jax.ShapeDtypeStruct((1, 128), jnp.int32))
+        out_specs.append(const((B, 128)))
+        out_shape.append(jax.ShapeDtypeStruct((B, 128), jnp.int32))
         scalars = [jnp.concatenate([scalars[0], seed.astype(jnp.int32)])]
 
     kv_dtype = jnp.int8 if kv_quant else jnp.bfloat16

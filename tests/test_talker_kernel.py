@@ -260,6 +260,98 @@ def test_sample_mode_respects_suppress_and_seed(setup):
     assert int(c2[0]) in allowed
 
 
+def test_batched_sample_mode_greedy_matches_xla(setup):
+    """B=3 kernel step with the in-kernel row-parallel head+sampler:
+    greedy picks match the XLA batched step + per-row sampler, per-row
+    ``seen`` drives the repetition penalty independently, and the hidden
+    comes back post-final-norm."""
+    cfg, params = setup
+    from qwen3tts_tpu.ops.sampling import sample_token_inner
+
+    H, B, t_max = cfg.hidden_size, 3, 256
+    V = params["codec_head"].q.shape[-1]
+    cache = tk.make_cache(cfg, B, t_max, jnp.bfloat16)
+    pre = (
+        jax.random.normal(jax.random.PRNGKey(3), (B, 90, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+    _, cache = tk.forward(params, cfg, pre, cache, jnp.int32(0))
+    offsets = jnp.array([37, 64, 90], jnp.int32)
+    x = (
+        jax.random.normal(jax.random.PRNGKey(5), (B, 1, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+    seen = jnp.zeros((B, V), bool)
+    seen = seen.at[0, 3].set(True).at[1, 100].set(True).at[2, 7].set(True)
+    suppress_add = jnp.zeros((V,), jnp.float32)
+
+    cos, sin = mrope_cos_sin(
+        offsets[:, None], cfg.head_dim, cfg.rope_theta, cfg.mrope_section,
+        jnp.bfloat16,
+    )
+    h_k, k_new, v_new, code0 = talker_decode_step(
+        params, cfg, x, cache.k, cache.v, offsets, cos, sin, interpret=True,
+        sample=dict(temperature=0.0, top_k=8, rep_penalty=1.05, eos_id=-1),
+        seed=jnp.asarray([7, 13], jnp.int32),
+        suppress_add=suppress_add[None],
+        seen=seen.astype(jnp.float32),
+    )
+
+    # XLA reference: batched step, then the (batch-general) sampler per row
+    h_x, _ = tk.forward_batched_step(params, cfg, x, cache, offsets)
+    logits = tk.codec_logits(params, h_x)[:, 0]  # [B, V]
+    ref = sample_token_inner(
+        jax.random.PRNGKey(0), logits, temperature=0.0, top_k=8, top_p=1.0,
+        repetition_penalty=1.05, seen=seen,
+    )
+
+    hx = np.asarray(h_x[:, 0], np.float32)
+    hk = np.asarray(h_k[:, 0], np.float32)
+    rel = np.abs(hk - hx).max() / (np.abs(hx).mean() + 1e-6)
+    assert rel < 0.15, f"post-norm hidden mismatch: {rel:.4f}"
+    lx = np.asarray(logits, np.float32)
+    for b in range(B):
+        top2 = np.sort(lx[b])[-2:]
+        if (top2[1] - top2[0]) / (np.std(lx[b]) + 1e-6) > 0.05:
+            assert int(code0[b]) == int(ref[b]), f"row {b} greedy pick"
+
+
+def test_batched_sample_mode_respects_suppress(setup):
+    """Sampled (T>0) batched kernel: every row's code lands in the shared
+    allowed set."""
+    cfg, params = setup
+    H, B, t_max = cfg.hidden_size, 2, 256
+    V = params["codec_head"].q.shape[-1]
+    cache = tk.make_cache(cfg, B, t_max, jnp.bfloat16)
+    pre = (
+        jax.random.normal(jax.random.PRNGKey(3), (B, 50, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+    _, cache = tk.forward(params, cfg, pre, cache, jnp.int32(0))
+    offsets = jnp.array([33, 50], jnp.int32)
+    x = (
+        jax.random.normal(jax.random.PRNGKey(5), (B, 1, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+    allowed = list(range(32, 48))
+    supp = jnp.ones((V,), bool)
+    for i in allowed:
+        supp = supp.at[i].set(False)
+    suppress_add = jnp.where(supp, jnp.float32(-1e30), jnp.float32(0.0))
+    cos, sin = mrope_cos_sin(
+        offsets[:, None], cfg.head_dim, cfg.rope_theta, cfg.mrope_section,
+        jnp.bfloat16,
+    )
+    try:
+        _, _, _, code0 = talker_decode_step(
+            params, cfg, x, cache.k, cache.v, offsets, cos, sin, interpret=True,
+            sample=dict(temperature=0.9, top_k=8, rep_penalty=1.0, eos_id=-1),
+            seed=jnp.asarray([21, 34], jnp.int32),
+            suppress_add=suppress_add[None],
+            seen=jnp.zeros((B, V), jnp.float32),
+        )
+    except Exception as e:  # pragma: no cover - interpret-mode PRNG support
+        pytest.skip(f"interpret-mode PRNG unsupported here: {e}")
+    for b in range(B):
+        assert int(code0[b]) in allowed, f"row {b} escaped the allowed set"
+
+
 def test_int8_kv_cache_parity_and_quality(setup):
     """int8 KV cache (KVCacheQ): kernel step == XLA step on the SAME
     quantized cache (both dequantize identically), and the quantized XLA
