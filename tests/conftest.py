@@ -15,5 +15,19 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled-executable caches after each test module.
+
+    A full-suite run accumulates ~200 XLA CPU compilations (many of them
+    large Pallas interpret programs); past ~190 the in-process compiler
+    segfaults (observed 3x at the same point, passes in isolation, not
+    OOM — 125 GB free). Dropping the caches between modules keeps the
+    compiler's working set bounded."""
+    yield
+    jax.clear_caches()
