@@ -52,6 +52,8 @@ def _talker_step_kernel(
     block_t: int,
     sample: dict | None,  # static: temperature/top_k/rep_penalty/eos_id
     kv_quant: bool,  # int8 cache + per-row f32 scale stream
+    wide_sg: int,  # >0: grouped-wide attention, wide_sg sequences per group
+    lps: int,  # layers per grid step (block dim of the weight stream)
     *refs,
 ):
     """Kernel body. ``refs`` layout (sampling refs only present when
@@ -60,17 +62,18 @@ def _talker_step_kernel(
       scalar prefetch:
         pos_ref  SMEM [B+1(+2)] int32: per-seq cache offsets, max offset,
                  [seed0, seed1 — sampling only]
-      blocked per-layer inputs (leading dim 1 = this grid step's layer):
-        qkv_w, qkv_s   [1, H, NQD+2KVD] int8 / [1, 1, ...] f32
-        o_w, o_s       [1, NQD, H]
-        gu_w, gu_s     [1, H, 2I]
-        d_w, d_s       [1, I, H]
-        iln, pln       [1, 1, H] f32
-        qn, kn         [1, 1, D] f32
+      blocked per-layer inputs (leading dim = this grid step's lps layers):
+        qkv_w, qkv_s   [lps, H, NQD+2KVD] int8 / [lps, 1, ...] f32
+        o_w, o_s       [lps, NQD, H]
+        gu_w, gu_s     [lps, H, 2I]
+        d_w, d_s       [lps, I, H]
+        iln, pln       [lps, 1, H] f32
+        qn, kn         [lps, 1, D] f32
       unblocked inputs:
         cos, sin       [B, D] f32 (per-seq rope rows at its offset)
         x              [B, H] bf16 input embeddings
         offs           [B, 128] int32 (per-seq offset broadcast on lanes)
+        [offs_rows     [B*NQ, 128] int32, row r = offs[r // NQ] — wide only]
         [head_w        [H, V] int8      — sampling only]
         [head_s        [1, V] f32       — sampling only]
         [fnorm         [1, H] f32       — sampling only]
@@ -91,6 +94,8 @@ def _talker_step_kernel(
      d_w_ref, d_s_ref, iln_ref, pln_ref, qn_ref, kn_ref,
      cos_ref, sin_ref, x_ref, offs_ref) = r[:16]
     del r[:16]
+    if wide_sg > 0:
+        offs_rows_ref = r.pop(0)  # [B*NQ, 128]: row r = offs[r // NQ]
     if sample is not None:
         head_w_ref, head_s_ref, fnorm_ref, supp_ref, seen_ref = r[:5]
         del r[:5]
@@ -114,12 +119,12 @@ def _talker_step_kernel(
     )
     G = NQ // NKV
     scale = D**-0.5
-    l = pl.program_id(0)
+    step = pl.program_id(0)
     max_off = pos_ref[B]  # max over per-seq offsets
     T = k_hbm.shape[3]
     n_valid = (max_off + block_t - 1) // block_t  # prefix blocks to stream
 
-    def read(slot, blk):
+    def read(slot, blk, l):
         start = blk * block_t
         cps = [
             pltpu.make_async_copy(
@@ -146,10 +151,10 @@ def _talker_step_kernel(
 
     @pl.when(n_valid > 0)
     def _():
-        for c in read(0, 0):
+        for c in read(0, 0, step * lps):
             c.start()
 
-    @pl.when(l == 0)
+    @pl.when(step == 0)
     def _():
         h_scr[...] = x_ref[...]
 
@@ -158,28 +163,28 @@ def _talker_step_kernel(
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         return (xf * jax.lax.rsqrt(var + eps) * w_row).astype(jnp.bfloat16)
 
-    def mv(x, w_ref, s_ref):
+    def mv(x, w_ref, s_ref, j=0):
         if mode == "dyn_int8":
             xf = x.astype(jnp.float32)
             amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
             s = jnp.maximum(amax * (1.0 / 127.0), 1e-12)
             xq = jnp.round(xf / s).astype(jnp.int8)
             acc = jax.lax.dot_general(
-                xq, w_ref[0], (((1,), (0,)), ((), ())),
+                xq, w_ref[j], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            y = acc.astype(jnp.float32) * (s * s_ref[0])
+            y = acc.astype(jnp.float32) * (s * s_ref[j])
         elif mode == "bf16":  # dense bf16 weights, no scale
             y = jax.lax.dot_general(
-                x, w_ref[0], (((1,), (0,)), ((), ())),
+                x, w_ref[j], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         else:  # "wo_bf16": int8 weights converted on load, per-channel scale
-            w = w_ref[0].astype(jnp.bfloat16)
+            w = w_ref[j].astype(jnp.bfloat16)
             y = jax.lax.dot_general(
                 x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
-            y = y * s_ref[0]
+            y = y * s_ref[j]
         return y.astype(jnp.bfloat16)
 
     cos_row = cos_ref[...].astype(jnp.bfloat16)[:, None]  # [B, 1, D]
@@ -190,89 +195,199 @@ def _talker_step_kernel(
         rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
         return x * cos_row + rot * sin_row
 
-    h = h_scr[...]
-    xn = rms(h, iln_ref[0])
-    qkv = mv(xn, qkv_w_ref, qkv_s_ref)  # [B, NQD + 2 KVD]
-    q = qkv[:, : NQ * D].reshape(B, NQ, D)
-    k = qkv[:, NQ * D : (NQ + NKV) * D].reshape(B, NKV, D)
-    v = qkv[:, (NQ + NKV) * D :].reshape(B, NKV, D)
-    q = rope(rms(q, qn_ref[0]))
-    k = rope(rms(k, kn_ref[0]))
-    k_out_ref[0] = k
-    v_out_ref[0] = v
-
-    # --- prefix-streaming flash attention + current-token virtual block ---
-    offs = offs_ref[:, :1].reshape(B, 1, 1, 1)  # per-seq valid length
-    qg = (q.astype(jnp.float32) * scale).reshape(B, NKV, G, D)
-    m0 = jnp.full((B, NKV, G, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((B, NKV, G, 1), jnp.float32)
-    a0 = jnp.zeros((B, NKV, G, D), jnp.float32)
-
-    def body(b, carry):
-        m, s_l, acc = carry
-        slot = jax.lax.rem(b, 2)
-
-        @pl.when(b + 1 < n_valid)
-        def _():
-            for c in read(1 - slot, b + 1):
-                c.start()
-
-        for c in read(slot, b):
-            c.wait()
-        # Mosaic matmuls allow at most ONE batch dim — merge (B, NKV)
-        k_blk = kbuf[slot].astype(jnp.float32).reshape(B * NKV, block_t, D)
-        v_blk = vbuf[slot].astype(jnp.float32).reshape(B * NKV, block_t, D)
-        s = jax.lax.dot_general(
-            qg.reshape(B * NKV, G, D), k_blk,
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(B, NKV, G, block_t)
-        if kv_quant:
-            # int8 rows: fold the per-row K scale into the scores (cheaper
-            # than dequantizing the whole [*, D] block elementwise)
-            s = s * ksbuf[slot][:, :, None, :]
-        t_idx = b * block_t + jax.lax.broadcasted_iota(
-            jnp.int32, (B, NKV, G, block_t), 3
+    # grouped-wide attention constants (layer-independent, hoisted)
+    if wide_sg > 0:
+        SG = wide_sg
+        NGRP = B // SG
+        M = SG * NQ  # wide query rows per group
+        R = SG * NKV * block_t  # wide key rows per group
+        # structural mask: query row i (seq i//NQ, kv head (i%NQ)//G) may
+        # attend key row j (seq j//(NKV*bt), kv head (j//bt)%NKV) iff both
+        # match; identical for every group, layer and block -> built once
+        qi = jax.lax.broadcasted_iota(jnp.int32, (M, R), 0)
+        kj = jax.lax.broadcasted_iota(jnp.int32, (M, R), 1)
+        struct_add = jnp.where(
+            (qi // NQ == kj // (NKV * block_t))
+            & ((qi % NQ) // G == (kj // block_t) % NKV),
+            0.0,
+            NEG_INF,
         )
-        s = jnp.where(t_idx < offs, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        s_l = s_l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        if kv_quant:
-            # fold the per-row V scale into the probs before the V matmul
-            pv = p * vsbuf[slot][:, :, None, :]
+        col_t = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1) % block_t
+
+    offs = offs_ref[:, :1].reshape(B, 1, 1, 1)  # per-seq valid length
+
+    def run_layer(j, l, h):
+        """One transformer layer: j = slot in this grid step's weight
+        block, l = absolute layer index (for the KV stream)."""
+        xn = rms(h, iln_ref[j])
+        qkv = mv(xn, qkv_w_ref, qkv_s_ref, j)  # [B, NQD + 2 KVD]
+        q = qkv[:, : NQ * D].reshape(B, NQ, D)
+        k = qkv[:, NQ * D : (NQ + NKV) * D].reshape(B, NKV, D)
+        v = qkv[:, (NQ + NKV) * D :].reshape(B, NKV, D)
+        q = rope(rms(q, qn_ref[j]))
+        k = rope(rms(k, kn_ref[j]))
+        k_out_ref[j] = k
+        v_out_ref[j] = v
+
+        # --- prefix-streaming flash attention + current-token block ---
+        qg = (q.astype(jnp.float32) * scale).reshape(B, NKV, G, D)
+
+        if wide_sg > 0:
+            # Grouped-wide form: one [SG*NQ, D] x [SG*NKV*bt, D]^T matmul
+            # per group of SG sequences. The narrow form's [B*NKV]-batched
+            # [G=2, D]x[D, bt] sub-matmuls pay a full 128-row MXU tile load
+            # for 2 rows of use (measured tile-load bound: ~2.1 ms/frame
+            # per extra streamed KV block at B=32, tools/exp_attn_cost.py);
+            # the wide form wastes SG*NKV x the FLOPs on cross-sequence /
+            # cross-head entries (masked to -inf structurally) but
+            # amortizes every tile load over 128 query rows — the same
+            # trade that took the CP kernel's batched attention 1.96 ->
+            # 1.0 ms/frame.
+            qw = qg.reshape(B * NQ, D)
+            m0 = tuple(
+                jnp.full((M, 1), NEG_INF, jnp.float32) for _ in range(NGRP)
+            )
+            l0 = tuple(jnp.zeros((M, 1), jnp.float32) for _ in range(NGRP))
+            a0 = tuple(jnp.zeros((M, D), jnp.float32) for _ in range(NGRP))
+
+            def body(b, carry):
+                ms, ls, accs = carry
+                slot = jax.lax.rem(b, 2)
+
+                @pl.when(b + 1 < n_valid)
+                def _():
+                    for c in read(1 - slot, b + 1, l):
+                        c.start()
+
+                for c in read(slot, b, l):
+                    c.wait()
+                t_j = b * block_t + col_t  # [1, R] absolute key time
+                ms_n, ls_n, accs_n = [], [], []
+                for g in range(NGRP):  # unrolled: bounds live VMEM to 1 grp
+                    m, s_l, acc = ms[g], ls[g], accs[g]
+                    k_g = kbuf[slot][g * SG : (g + 1) * SG].astype(
+                        jnp.float32
+                    ).reshape(R, D)
+                    v_g = vbuf[slot][g * SG : (g + 1) * SG].astype(
+                        jnp.float32
+                    ).reshape(R, D)
+                    s = jax.lax.dot_general(
+                        qw[g * M : (g + 1) * M], k_g,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [M, R]
+                    if kv_quant:
+                        s = s * ksbuf[slot][g * SG : (g + 1) * SG].reshape(1, R)
+                    offs_g = offs_rows_ref[g * M : (g + 1) * M, :1]  # [M, 1]
+                    s = jnp.where(t_j < offs_g, s + struct_add, NEG_INF)
+                    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+                    p = jnp.exp(s - m_new)
+                    alpha = jnp.exp(m - m_new)
+                    s_l = s_l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                    if kv_quant:
+                        p = p * vsbuf[slot][g * SG : (g + 1) * SG].reshape(1, R)
+                    acc = acc * alpha + jax.lax.dot_general(
+                        p, v_g, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [M, D]
+                    ms_n.append(m_new)
+                    ls_n.append(s_l)
+                    accs_n.append(acc)
+                return tuple(ms_n), tuple(ls_n), tuple(accs_n)
+
+            ms, ls, accs = jax.lax.fori_loop(0, n_valid, body, (m0, l0, a0))
+            # back to the narrow [B, NKV, G, *] layout for the shared tail
+            m = jnp.concatenate(ms, axis=0).reshape(B, NKV, G, 1)
+            s_l = jnp.concatenate(ls, axis=0).reshape(B, NKV, G, 1)
+            acc = jnp.concatenate(accs, axis=0).reshape(B, NKV, G, D)
         else:
-            pv = p
-        acc = acc * alpha + jax.lax.dot_general(
-            pv.reshape(B * NKV, G, block_t), v_blk,
+            m0 = jnp.full((B, NKV, G, 1), NEG_INF, jnp.float32)
+            l0 = jnp.zeros((B, NKV, G, 1), jnp.float32)
+            a0 = jnp.zeros((B, NKV, G, D), jnp.float32)
+
+            def body(b, carry):
+                m, s_l, acc = carry
+                slot = jax.lax.rem(b, 2)
+
+                @pl.when(b + 1 < n_valid)
+                def _():
+                    for c in read(1 - slot, b + 1, l):
+                        c.start()
+
+                for c in read(slot, b, l):
+                    c.wait()
+                # Mosaic matmuls allow at most ONE batch dim: merge (B, NKV)
+                k_blk = kbuf[slot].astype(jnp.float32).reshape(
+                    B * NKV, block_t, D
+                )
+                v_blk = vbuf[slot].astype(jnp.float32).reshape(
+                    B * NKV, block_t, D
+                )
+                s = jax.lax.dot_general(
+                    qg.reshape(B * NKV, G, D), k_blk,
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).reshape(B, NKV, G, block_t)
+                if kv_quant:
+                    # int8 rows: fold the per-row K scale into the scores
+                    # (cheaper than dequantizing the whole [*, D] block)
+                    s = s * ksbuf[slot][:, :, None, :]
+                t_idx = b * block_t + jax.lax.broadcasted_iota(
+                    jnp.int32, (B, NKV, G, block_t), 3
+                )
+                s = jnp.where(t_idx < offs, s, NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(m - m_new)
+                s_l = s_l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                if kv_quant:
+                    # fold the per-row V scale into the probs pre-matmul
+                    pv = p * vsbuf[slot][:, :, None, :]
+                else:
+                    pv = p
+                acc = acc * alpha + jax.lax.dot_general(
+                    pv.reshape(B * NKV, G, block_t), v_blk,
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).reshape(B, NKV, G, D)
+                return m_new, s_l, acc
+
+            m, s_l, acc = jax.lax.fori_loop(0, n_valid, body, (m0, l0, a0))
+
+        # current token: score q . k_cur per kv head, fold into the softmax
+        s_cur = jax.lax.dot_general(
+            qg.reshape(B * NKV, G, D),
+            k.astype(jnp.float32).reshape(B * NKV, D),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).reshape(B, NKV, G, D)
-        return m_new, s_l, acc
+        ).reshape(B, NKV, G, 1)
+        m_f = jnp.maximum(m, s_cur)
+        alpha = jnp.exp(m - m_f)
+        p_cur = jnp.exp(s_cur - m_f)
+        s_l = s_l * alpha + p_cur
+        acc = acc * alpha + p_cur * v.astype(jnp.float32)[:, :, None, :]
+        attn = (acc / s_l).astype(jnp.bfloat16).reshape(B, NQ * D)
 
-    m, s_l, acc = jax.lax.fori_loop(0, n_valid, body, (m0, l0, a0))
+        h = h + mv(attn, o_w_ref, o_s_ref, j)
+        if j + 1 < lps:
+            # start the NEXT layer's first KV block now so its DMA hides
+            # behind this layer's MLP matmuls (across grid steps the
+            # top-of-kernel issue provides the same overlap)
+            @pl.when(n_valid > 0)
+            def _():
+                for c in read(0, 0, l + 1):
+                    c.start()
 
-    # current token: score q . k_cur per kv head, fold into the softmax
-    s_cur = jax.lax.dot_general(
-        qg.reshape(B * NKV, G, D),
-        k.astype(jnp.float32).reshape(B * NKV, D),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).reshape(B, NKV, G, 1)
-    m_f = jnp.maximum(m, s_cur)
-    alpha = jnp.exp(m - m_f)
-    p_cur = jnp.exp(s_cur - m_f)
-    s_l = s_l * alpha + p_cur
-    acc = acc * alpha + p_cur * v.astype(jnp.float32)[:, :, None, :]
-    attn = (acc / s_l).astype(jnp.bfloat16).reshape(B, NQ * D)
+        xn = rms(h, pln_ref[j])
+        gu = mv(xn, gu_w_ref, gu_s_ref, j).astype(jnp.float32)
+        g, u = gu[:, :I], gu[:, I:]
+        gated = (g * jax.nn.sigmoid(g) * u).astype(jnp.bfloat16)
+        h = h + mv(gated, d_w_ref, d_s_ref, j)
+        return h
 
-    h = h + mv(attn, o_w_ref, o_s_ref)
-    xn = rms(h, pln_ref[0])
-    gu = mv(xn, gu_w_ref, gu_s_ref).astype(jnp.float32)
-    g, u = gu[:, :I], gu[:, I:]
-    gated = (g * jax.nn.sigmoid(g) * u).astype(jnp.bfloat16)
-    h = h + mv(gated, d_w_ref, d_s_ref)
+    h = h_scr[...]
+    for j in range(lps):
+        h = run_layer(j, step * lps + j, h)
     h_scr[...] = h
     h_out_ref[...] = h
 
@@ -292,7 +407,7 @@ def _talker_step_kernel(
         rep_penalty = sample["rep_penalty"]
         eos_id = sample["eos_id"]  # -1: EOS does not bypass top-k
 
-        @pl.when(l == L - 1)
+        @pl.when(step == L // lps - 1)
         def _():
             hn = rms(h, fnorm_ref[...])
             if mode == "dyn_int8":
@@ -371,7 +486,62 @@ def _talker_step_kernel(
             h_out_ref[...] = hn  # post-norm hidden (CP consumes this)
 
 
-def _pick_block_t(T: int, B: int, NKV: int, D: int) -> int:
+def _pick_wide_sg(B: int) -> int:
+    """Sequences per grouped-wide attention group (0 = narrow form).
+
+    The wide form amortizes MXU weight-tile loads over SG*NQ query rows
+    at SG*NKV x wasted FLOPs + an SG^2-inflated score matrix on the VPU;
+    it wins when the narrow form's per-(seq, kv-head) sub-matmuls are
+    tile-load bound (B >= 4; measured ~2.1 ms/frame per streamed KV
+    block at B=32, tools/exp_attn_cost.py / exp_attn_forms.py). SG = 8
+    puts a full 128-row tile of query rows in front of every key tile.
+    ``QWEN3TTS_TK_WIDE_SG`` overrides for A/B (-1 forces narrow).
+    """
+    import os
+
+    env = os.environ.get("QWEN3TTS_TK_WIDE_SG")
+    if env is not None:
+        v = int(env)
+        return 0 if v < 0 else (v if v and B % v == 0 else 0)
+    if B >= 8 and B % 8 == 0:
+        return 8
+    if 4 <= B <= 8:
+        return B
+    return 0
+
+
+def _pick_lps(L: int, B: int, s: dict, layout: str, block_t: int,
+              wide_sg: int) -> int:
+    """Layers per grid step. lps=2 halves the grid-step count and doubles
+    the weight-DMA granularity (fewer pipeline boundaries on the
+    HBM->VMEM weight stream, the measured bound at B=1); costs 2x the
+    double-buffered weight VMEM, so it only engages when everything still
+    fits. ``QWEN3TTS_TK_LPS`` overrides for A/B."""
+    import os
+
+    H, D, NQ, NKV, I = (s[k] for k in ("H", "D", "NQ", "NKV", "I"))
+    itemsize = 1 if layout == "int8" else 2
+    per_layer = (H * (NQ + 2 * NKV) * D + NQ * D * H + H * 3 * I) * itemsize
+    kv_bufs = 4 * B * NKV * block_t * D * 2
+    wide_planes = 0
+    if wide_sg > 0:
+        M, R = wide_sg * NQ, wide_sg * NKV * block_t
+        wide_planes = (3 * M * R + 2 * R * D) * 4
+
+    def fits(lps):
+        return 2 * lps * per_layer + kv_bufs + wide_planes < 100 * 2**20
+
+    env = os.environ.get("QWEN3TTS_TK_LPS")
+    if env is not None:
+        v = max(1, int(env))
+        return v if L % v == 0 and fits(v) else 1
+    # default stays 1 until lps=2 is hardware-validated (interpret-mode
+    # parity is green; the win hypothesis — fewer weight-stream pipeline
+    # boundaries — is unmeasured on the chip)
+    return 1
+
+
+def _pick_block_t(T: int, B: int, NKV: int, D: int, wide_sg: int = 0) -> int:
     """KV stream block size (512/256/128 rows): ~T/8 so the stream tracks
     the valid prefix (a block larger than typical offsets reads rows that
     are never attended — measured +3% frame time at B=1 with 256-row
@@ -379,13 +549,20 @@ def _pick_block_t(T: int, B: int, NKV: int, D: int) -> int:
     issue/wait latency dominates (a 4096-slot cache walks 8 blocks of 512
     instead of 32 of 128). Must divide T; the 4 double-buffered KV scratch
     buffers stay within ~34 MB of VMEM (at B=32 a 512-row block alone
-    would need 134 MB)."""
+    would need 134 MB). Grouped-wide attention additionally caps the
+    per-group wide key-row count SG*NKV*block_t at 8192 — the [M, R] f32
+    score/prob planes and the f32 K/V casts scale with R and would blow
+    VMEM at e.g. B=8, block_t=512 (R=32768)."""
     budget = 34 * 2**20
     per_row = 4 * B * NKV * D * 2  # 2 slots x (K, V), bf16
     target = max(128, min(512, T // 8))
+    if wide_sg > 0:
+        target = min(target, max(128, 8192 // (wide_sg * NKV)))
     for cand in (512, 256):
         if cand <= target and T % cand == 0 and per_row * cand <= budget:
             return cand
+    if per_row * 128 > budget and T % 64 == 0:
+        return 64  # very large B (>=64): keep the KV scratch inside budget
     return 128
 
 
@@ -488,7 +665,8 @@ def talker_decode_step(
     # prefix tighter (at B=32 a fixed 512 block read the whole cache every
     # frame, ~1.9 GB/frame), big blocks amortize DMA latency on long
     # caches; the scratch budget arbitrates.
-    block_t = _pick_block_t(T, B, NKV, D)
+    wide_sg_early = _pick_wide_sg(B)
+    block_t = _pick_block_t(T, B, NKV, D, wide_sg_early)
     assert T % block_t == 0, f"cache length {T} not a multiple of {block_t}"
     layers = params["layers"]
     offs_arr = jnp.broadcast_to(
@@ -500,11 +678,15 @@ def talker_decode_step(
 
     kv_quant = k_scale is not None
     assert kv_quant == (k_cache.dtype == jnp.int8)
-    blk = lambda shape: pl.BlockSpec(shape, lambda l, *_: (l,) + (0,) * (len(shape) - 1))
+    wide_sg = wide_sg_early
+    lps = _pick_lps(L, B, s, _layout(layers) or "bf16", block_t, wide_sg)
+    blk = lambda shape: pl.BlockSpec(
+        (lps,) + shape[1:], lambda l, *_: (l,) + (0,) * (len(shape) - 1)
+    )
     const = lambda shape: pl.BlockSpec(shape, lambda l, *_: (0,) * len(shape))
     kernel = functools.partial(
         _talker_step_kernel, s, mode, float(cfg.rms_norm_eps), block_t, sample,
-        kv_quant,
+        kv_quant, wide_sg, lps,
     )
     qkv_w, qkv_s = _wq(layers["qkv_proj"])
     o_w, o_s = _wq(layers["o_proj"])
@@ -536,6 +718,15 @@ def talker_decode_step(
         x[:, 0].astype(jnp.bfloat16),
         jnp.broadcast_to(offs_arr[:, None], (B, 128)),
     ]
+    if wide_sg > 0:
+        # per-wide-query-row offsets: row r = offs[r // NQ] (built on host;
+        # the [B, NQ] -> [B*NQ, 1] collapse is awkward inside Mosaic)
+        in_specs.append(const((B * NQ, 128)))
+        operands.append(
+            jnp.broadcast_to(
+                jnp.repeat(offs_arr, NQ)[:, None], (B * NQ, 128)
+            )
+        )
     out_specs = [
         const((B, H)),
         blk((1, B, NKV, D)),
@@ -591,7 +782,7 @@ def talker_decode_step(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(L,),
+            grid=(L // lps,),
             in_specs=in_specs + [pl.BlockSpec(memory_space=pl.ANY)] * n_any,
             out_specs=out_specs,
             scratch_shapes=scratch,

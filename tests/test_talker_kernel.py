@@ -260,6 +260,124 @@ def test_sample_mode_respects_suppress_and_seed(setup):
     assert int(c2[0]) in allowed
 
 
+@pytest.mark.parametrize("B,offsets", [(4, [37, 90, 5, 64]),
+                                       (8, [37, 90, 5, 64, 1, 128, 90, 33])])
+def test_batched_wide_attention_parity(setup, monkeypatch, B, offsets):
+    """Grouped-wide attention (B>=4 auto-selects it): kernel step with
+    per-sequence offsets == XLA forward_batched_step, and == the narrow
+    kernel form on the same inputs (QWEN3TTS_TK_WIDE_SG=-1)."""
+    from qwen3tts_tpu.ops.talker_kernel import _pick_wide_sg
+
+    assert _pick_wide_sg(B) == min(B, 8)
+    cfg, params = setup
+    H = cfg.hidden_size
+    cache = tk.make_cache(cfg, B, 256, jnp.bfloat16)
+    pre = (
+        jax.random.normal(jax.random.PRNGKey(3), (B, 130, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+    _, cache = tk.forward(params, cfg, pre, cache, jnp.int32(0))
+    offs = jnp.array(offsets, jnp.int32)
+    x = (
+        jax.random.normal(jax.random.PRNGKey(5), (B, 1, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+    cos, sin = mrope_cos_sin(
+        offs[:, None], cfg.head_dim, cfg.rope_theta, cfg.mrope_section,
+        jnp.bfloat16,
+    )
+
+    h_x, _ = tk.forward_batched_step(params, cfg, x, cache, offs)
+    h_w, k_w, v_w = talker_decode_step(
+        params, cfg, x, cache.k, cache.v, offs, cos, sin, interpret=True
+    )
+    monkeypatch.setenv("QWEN3TTS_TK_WIDE_SG", "-1")
+    h_n, k_n, v_n = talker_decode_step(
+        params, cfg, x, cache.k, cache.v, offs, cos, sin, interpret=True
+    )
+
+    hx = np.asarray(h_x, np.float32)
+    hw = np.asarray(rms_norm(h_w, params["norm"], cfg.rms_norm_eps), np.float32)
+    hn = np.asarray(rms_norm(h_n, params["norm"], cfg.rms_norm_eps), np.float32)
+    rel = np.abs(hw - hx).max() / (np.abs(hx).mean() + 1e-6)
+    assert rel < 0.15, f"wide vs XLA mismatch: scaled {rel:.4f}"
+    # wide and narrow are the same f32 math modulo summation order
+    reln = np.abs(hw - hn).max() / (np.abs(hn).mean() + 1e-6)
+    assert reln < 0.05, f"wide vs narrow kernel mismatch: scaled {reln:.4f}"
+    np.testing.assert_array_equal(np.asarray(k_w), np.asarray(k_n))
+    np.testing.assert_array_equal(np.asarray(v_w), np.asarray(v_n))
+
+
+def test_two_layers_per_grid_step_parity(monkeypatch):
+    """lps=2 (even layer count): kernel == XLA step and == the lps=1
+    kernel within bf16 rounding (same math; the one-trace two-layer body
+    fuses/rounds differently than two grid steps, so bit-exactness does
+    not hold — measured 1-2 ulp)."""
+    cfg = TalkerConfig(
+        vocab_size=512,
+        hidden_size=256,
+        text_hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=128,
+    )
+    params = tk.init_talker_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    params["layers"] = tk.fuse_layer_projections(params["layers"])
+    params = quantize_decode_params_int8(params, "codec_head")
+    from qwen3tts_tpu.ops.talker_kernel import _pick_lps, _shapes
+
+    s = _shapes(cfg)
+    monkeypatch.setenv("QWEN3TTS_TK_LPS", "2")
+    assert _pick_lps(4, 1, s, "int8", 128, 0) == 2
+    assert _pick_lps(3, 1, s, "int8", 128, 0) == 1  # odd L stays single
+
+    H = cfg.hidden_size
+    cache = tk.make_cache(cfg, 1, 256, jnp.bfloat16)
+    pre = (
+        jax.random.normal(jax.random.PRNGKey(3), (1, 37, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+    _, cache = tk.forward(params, cfg, pre, cache, jnp.int32(0))
+    x = (
+        jax.random.normal(jax.random.PRNGKey(5), (1, 1, H), jnp.float32) * 0.2
+    ).astype(jnp.bfloat16)
+    cos, sin = mrope_cos_sin(
+        jnp.full((1, 1), 37, jnp.int32), cfg.head_dim, cfg.rope_theta,
+        cfg.mrope_section, jnp.bfloat16,
+    )
+    h_xla, _ = tk.forward(params, cfg, x, cache, jnp.int32(37))
+
+    h2, k2, v2 = talker_decode_step(
+        params, cfg, x, cache.k, cache.v, jnp.int32(37), cos, sin,
+        interpret=True,
+    )
+    monkeypatch.setenv("QWEN3TTS_TK_LPS", "1")
+    h1, k1, v1 = talker_decode_step(
+        params, cfg, x, cache.k, cache.v, jnp.int32(37), cos, sin,
+        interpret=True,
+    )
+    for a, b, nm in ((h2, h1, "h"), (k2, k1, "k"), (v2, v1, "v")):
+        an, bn = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.abs(an - bn).max() / (np.abs(bn).mean() + 1e-6)
+        assert rel < 0.03, f"lps=2 vs lps=1 {nm} mismatch: scaled {rel:.4f}"
+    hx = np.asarray(rms_norm(h_xla, params["norm"], cfg.rms_norm_eps), np.float32)[:, 0]
+    hk = np.asarray(rms_norm(h2, params["norm"], cfg.rms_norm_eps), np.float32)[:, 0]
+    rel = np.abs(hk - hx).max() / (np.abs(hx).mean() + 1e-6)
+    assert rel < 0.15, f"lps=2 vs XLA mismatch: scaled {rel:.4f}"
+
+
+def test_pick_block_t_tracks_cache_and_batch():
+    """KV stream block sizing: ~T/8 target, VMEM budget at large B, 64-row
+    floor only when 128 rows would blow the scratch budget."""
+    from qwen3tts_tpu.ops.talker_kernel import _pick_block_t
+
+    assert _pick_block_t(256, 1, 8, 128) == 128   # short cache: tight blocks
+    assert _pick_block_t(4096, 1, 8, 128) == 512  # long cache: amortize DMA
+    assert _pick_block_t(2048, 1, 8, 128) == 256
+    assert _pick_block_t(256, 32, 8, 128) == 128  # budget caps large B
+    assert _pick_block_t(256, 64, 8, 128) == 64   # B=64: 128 rows > 34 MB
+    assert _pick_block_t(4096, 16, 8, 128) == 256  # budget admits 256, not 512
+
+
 def test_batched_sample_mode_greedy_matches_xla(setup):
     """B=3 kernel step with the in-kernel row-parallel head+sampler:
     greedy picks match the XLA batched step + per-row sampler, per-row
@@ -409,17 +527,20 @@ def test_int8_kv_cache_parity_and_quality(setup):
     assert d < 0.1, f"appended k rows: scaled {d:.4f}"
 
 
-def test_int8_kv_batched_step_parity(setup):
-    """B=2 int8-KV kernel step with per-sequence offsets == XLA
-    forward_batched_step on the same quantized cache."""
+@pytest.mark.parametrize("B,offs_list", [(2, [37, 90]), (4, [37, 90, 5, 64])])
+def test_int8_kv_batched_step_parity(setup, B, offs_list):
+    """Int8-KV kernel step with per-sequence offsets == XLA
+    forward_batched_step on the same quantized cache (B=2 narrow form,
+    B=4 grouped-wide with the per-row scales folded into the wide
+    score/prob planes)."""
     cfg, params = setup
-    H, B = cfg.hidden_size, 2
+    H = cfg.hidden_size
     cache = tk.make_cache(cfg, B, 256, quantized=True)
     pre = (
         jax.random.normal(jax.random.PRNGKey(3), (B, 90, H), jnp.float32) * 0.2
     ).astype(jnp.bfloat16)
     _, cache = tk.forward(params, cfg, pre, cache, jnp.int32(0))
-    offsets = jnp.array([37, 90], jnp.int32)
+    offsets = jnp.array(offs_list, jnp.int32)
     x = (
         jax.random.normal(jax.random.PRNGKey(5), (B, 1, H), jnp.float32) * 0.2
     ).astype(jnp.bfloat16)

@@ -82,16 +82,22 @@ def main():
             key=key,
         )
 
+    def sync(res):
+        # device->host transfer: the only sync the axon tunnel can't elide
+        # (block_until_ready has been observed returning while batched
+        # frames were still in flight — see tools/ab_tks_batch.py)
+        return int(jax.device_get(res.codes)[:, -1, 0].sum())
+
     t0 = time.time()
     res = run(jax.random.PRNGKey(0))
-    jax.block_until_ready(res.codes)
+    sync(res)
     log(f"compile+first run {time.time() - t0:.1f}s, frames={res.n_frames}")
 
     n = 3
     t0 = time.time()
     for i in range(n):
         res = run(jax.random.PRNGKey(i + 1))
-        jax.block_until_ready(res.codes)
+        sync(res)
     dt = (time.time() - t0) / n
     toks = B * 16 * FRAMES
     per_seq_audio = FRAMES / 12.5

@@ -5,8 +5,9 @@ into its serial components, each as its own fused 66-iteration device loop
 (same methodology as tools/microbench.py for B=1):
 
   talker  — forward_batched_step (the talker megakernel at batch B)
-  headsmp — codec head + code0 sampler + seen update (XLA; the in-kernel
-            fused head/sampler only covers B == 1)
+  headsmp — codec head + code0 sampler + seen update (the XLA variant;
+            production uses the in-kernel row-parallel sampler at any B —
+            measured perf-neutral vs this glue at B=32)
   cpk     — predict_codes_fused at batch B (the CP megakernel)
   next    — _next_input_batch glue
 
