@@ -503,10 +503,10 @@ def _pick_wide_sg(B: int) -> int:
     if env is not None:
         v = int(env)
         return 0 if v < 0 else (v if v and B % v == 0 else 0)
-    if B >= 8 and B % 8 == 0:
-        return 8
-    if 4 <= B <= 8:
-        return B
+    if B >= 4:
+        for sg in (8, 7, 6, 5, 4):  # largest group <= 8 that tiles B
+            if B % sg == 0:
+                return sg
     return 0
 
 

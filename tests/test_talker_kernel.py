@@ -261,6 +261,7 @@ def test_sample_mode_respects_suppress_and_seed(setup):
 
 
 @pytest.mark.parametrize("B,offsets", [(4, [37, 90, 5, 64]),
+                                       (6, [37, 90, 5, 64, 1, 113]),
                                        (8, [37, 90, 5, 64, 1, 128, 90, 33])])
 def test_batched_wide_attention_parity(setup, monkeypatch, B, offsets):
     """Grouped-wide attention (B>=4 auto-selects it): kernel step with
