@@ -7,18 +7,24 @@ layer's weights while the current layer computes — each int8 matvec stalls
 on its own HBM read (~19 us/layer of weight traffic, measured ~51 us/layer
 end-to-end).
 
-This kernel runs the whole step as ``grid=(L,)``: the per-layer int8
-weight blocks (fused qkv / o / gate_up / down, the production serving
-layout) are BlockSpec-indexed by the grid step, so Pallas double-buffers
-the HBM->VMEM weight stream automatically — layer l+1's weights fly in
-while layer l computes. The residual stream rides a VMEM scratch across
-grid steps. Attention streams only the VALID cache prefix through a
-double-buffered block pipeline with flash-style online softmax (the XLA
-path reads the full T_max rows every step), and the current token's k/v
-join the softmax as a final virtual block. The new k/v rows are returned
-stacked [L, Hkv, D] so the caller appends them with ONE
-dynamic_update_slice per cache (the round-1 finding stands: single-row
-VMEM->HBM bf16 DMAs violate Mosaic sublane tiling).
+This kernel runs the whole step as ``grid=(L/lps,)`` (lps layers per
+step, default 1; ``QWEN3TTS_TK_LPS=2`` doubles the weight-DMA
+granularity): the per-layer int8 weight blocks (fused qkv / o / gate_up
+/ down, the production serving layout) are BlockSpec-indexed by the grid
+step, so Pallas double-buffers the HBM->VMEM weight stream automatically
+— the next layers' weights fly in while the current ones compute. The
+residual stream rides a VMEM scratch across grid steps. Attention
+streams only the VALID cache prefix through a double-buffered block
+pipeline with flash-style online softmax (the XLA path reads the full
+T_max rows every step), and the current token's k/v join the softmax as
+a final virtual block. Two score/value formulations: the narrow
+[B*NKV]-batched form (B < 4), and a grouped-wide form (B >= 4) that
+trades SG*NKV x wasted FLOPs for 128-row MXU tile-load amortization —
+the narrow form is tile-load bound at batch (measured 2.13 ms/frame per
+extra streamed KV block at B=32, tools/exp_attn_cost.py). The new k/v
+rows are returned stacked [L, Hkv, D] so the caller appends them with
+ONE dynamic_update_slice per cache (the round-1 finding stands:
+single-row VMEM->HBM bf16 DMAs violate Mosaic sublane tiling).
 
 Matmul modes (static, same semantics as ops/cp_kernel.py):
   * "wo_bf16":  weight-only int8 -> bf16 convert per matvec (default;
