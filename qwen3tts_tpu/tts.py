@@ -1056,6 +1056,7 @@ class Qwen3TTSModel:
         repetition_penalty: float = 1.05,
         max_tokens: int = 2048,
         seed: int = 0,
+        dp_mesh=None,
     ) -> list[np.ndarray]:
         """Batched serving: synthesize N utterances in one lockstep decode.
 
@@ -1063,6 +1064,15 @@ class Qwen3TTSModel:
         single-token decode is weight-bandwidth-bound, so N sequences share
         the same weight stream at near-constant step latency — throughput
         per chip scales with N. Returns one waveform per input text.
+
+        ``dp_mesh``: a tp=1 ``("dp", "tp")`` mesh (parallel/mesh.py:
+        make_mesh(tp=1)) — the decode is shard_map'd over "dp": weights
+        replicated per device, sequences sharded, so each device runs the
+        UNMODIFIED single-chip fast path (megakernels included) on its
+        B/dp shard and throughput scales with the device count
+        (parallel/dp.py). Requires a model loaded WITHOUT ``mesh=`` (dp
+        replicas are the scale-out story for models that fit one chip; TP
+        is for models that don't) and B divisible by the dp size.
 
         Unlike generate(), a sequence that samples EOS on its very first
         frame yields an EMPTY waveform instead of raising — partial results
@@ -1073,6 +1083,21 @@ class Qwen3TTSModel:
         B = len(texts)
         if B == 0:
             return []
+        if dp_mesh is not None:
+            from .parallel.dp import dp_size
+
+            if self.mesh is not None:
+                raise Qwen3TTSError(
+                    "generate_batch(dp_mesh=) needs a model loaded without "
+                    "mesh= (dp replicates the single-chip configuration; it "
+                    "does not compose with a TP-sharded model)"
+                )
+            dp = dp_size(dp_mesh)
+            if B % dp != 0:
+                raise Qwen3TTSError(
+                    f"generate_batch: batch {B} not divisible by the dp mesh "
+                    f"size {dp} (pad the request list or shrink the mesh)"
+                )
         speakers = speakers if speakers is not None else [None] * B
         instructs = instructs if instructs is not None else [None] * B
         if len(speakers) != B or len(instructs) != B:
@@ -1110,24 +1135,40 @@ class Qwen3TTSModel:
             from .parallel import mesh as pm
 
             cache = pm.shard_cache(cache, self.mesh)
-        with self._mesh_scope():
-            res = bg.generate_codes_batch(
-                self.talker_params,
-                self.cp_params,
-                talker_cfg=self.talker_cfg,
-                cp_cfg=self.cp_cfg,
-                sampling=self._sampling(temperature, top_k, top_p, repetition_penalty),
-                prefill_embeds=prefill,
-                prefill_lens=prefill_lens,
-                trailing_embeds=trailing,
-                trailing_lens=trailing_lens,
-                tts_pad_embed=tts_pad,
-                cache=cache,
-                max_steps=jnp.asarray(caps, jnp.int32),
-                max_frames=max_frames,
-                key=jax.random.PRNGKey(seed),
+        kwargs = dict(
+            talker_cfg=self.talker_cfg,
+            cp_cfg=self.cp_cfg,
+            sampling=self._sampling(temperature, top_k, top_p, repetition_penalty),
+            prefill_embeds=prefill,
+            prefill_lens=prefill_lens,
+            trailing_embeds=trailing,
+            trailing_lens=trailing_lens,
+            tts_pad_embed=tts_pad,
+            cache=cache,
+            max_steps=jnp.asarray(caps, jnp.int32),
+            max_frames=max_frames,
+            key=jax.random.PRNGKey(seed),
+        )
+        if dp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            from .parallel.dp import generate_codes_batch_dp
+
+            # materialize the cache sharded (the big buffer: [L,B,Hkv,T,D]
+            # must never sit whole on one device at serving batch sizes)
+            kwargs["cache"] = jax.device_put(
+                cache, NamedSharding(dp_mesh, Pspec(None, "dp"))
+            )
+            res = generate_codes_batch_dp(
+                self.talker_params, self.cp_params, mesh=dp_mesh, **kwargs
             )
             n_frames = np.asarray(res.n_frames)
+        else:
+            with self._mesh_scope():
+                res = bg.generate_codes_batch(
+                    self.talker_params, self.cp_params, **kwargs
+                )
+                n_frames = np.asarray(res.n_frames)
         if (n_frames == 0).all():
             raise Qwen3TTSError("No tokens generated")
         codes_np = np.asarray(res.codes)

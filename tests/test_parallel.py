@@ -258,3 +258,166 @@ class TestMeshKernelEquality:
         scale = np.abs(np.asarray(h_tp)).max() + 1e-6
         diff = np.abs(np.asarray(h_k) - np.asarray(h_tp)).max() / scale
         assert diff < 0.02, f"mesh path vs kernel path diverged: {diff}"
+
+
+class TestDpShardMap:
+    """dp scale-out of the fused batch decode (parallel/dp.py).
+
+    shard_map over "dp" runs the UNMODIFIED single-chip batch program per
+    device shard. Oracle: a dp=4 mesh run must bit-match four direct
+    per-shard `generate_codes_batch` runs with the same folded keys (f32
+    on CPU -> exact, same local shapes so no batch-rounding caveat).
+    """
+
+    def test_dp_batch_matches_per_shard(self, params):
+        from qwen3tts_tpu.models import batch_generate as bg
+        from qwen3tts_tpu.parallel.dp import generate_codes_batch_dp
+
+        tkp, cpp = params
+        cfg, cpc = TP_TALKER, TP_TALKER.code_predictor_config
+        B, dp, H = 8, 4, cfg.hidden_size
+        sampling = gen.SamplingConfig(
+            temperature=0.9, top_k=50, top_p=1.0, repetition_penalty=1.05
+        )
+        key = jax.random.PRNGKey(11)
+        pe = jax.random.normal(jax.random.PRNGKey(3), (B, 16, H), jnp.float32) * 0.2
+        pl = jnp.asarray([16, 12, 9, 16, 7, 13, 16, 10], jnp.int32)
+        te = jax.random.normal(jax.random.PRNGKey(4), (B, 8, H), jnp.float32) * 0.2
+        tl = jnp.asarray([8, 3, 0, 5, 8, 2, 6, 1], jnp.int32)
+        pad = jnp.zeros((H,), jnp.float32)
+        max_steps = jnp.asarray([10, 6, 12, 12, 4, 9, 12, 7], jnp.int32)
+        max_frames = 12
+        mesh = pm.make_mesh(jax.devices()[:dp], tp=1)
+        got = generate_codes_batch_dp(
+            tkp, cpp, mesh=mesh, talker_cfg=cfg, cp_cfg=cpc, sampling=sampling,
+            prefill_embeds=pe, prefill_lens=pl, trailing_embeds=te,
+            trailing_lens=tl, tts_pad_embed=pad,
+            cache=tk.make_cache(cfg, B, 128, jnp.float32),
+            max_steps=max_steps, max_frames=max_frames, key=key,
+        )
+        for s in range(dp):
+            lo, hi = s * (B // dp), (s + 1) * (B // dp)
+            exp = bg.generate_codes_batch(
+                tkp, cpp, talker_cfg=cfg, cp_cfg=cpc, sampling=sampling,
+                prefill_embeds=pe[lo:hi], prefill_lens=pl[lo:hi],
+                trailing_embeds=te[lo:hi], trailing_lens=tl[lo:hi],
+                tts_pad_embed=pad,
+                cache=tk.make_cache(cfg, B // dp, 128, jnp.float32),
+                max_steps=max_steps[lo:hi], max_frames=max_frames,
+                key=jax.random.fold_in(key, s),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.codes[lo:hi]), np.asarray(exp.codes)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.n_frames[lo:hi]), np.asarray(exp.n_frames)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.tokens[lo:hi]), np.asarray(exp.tokens)
+            )
+
+    def test_dp_requires_tp1(self):
+        from qwen3tts_tpu.parallel.dp import dp_size
+
+        with pytest.raises(ValueError, match="tp=1 mesh"):
+            dp_size(pm.make_mesh(jax.devices()[:4], tp=2))
+        assert dp_size(pm.make_mesh(jax.devices()[:4], tp=1)) == 4
+
+    def test_pallas_kernel_under_shard_map(self):
+        """pallas_call composes with shard_map: the fused talker step in
+        interpret mode, shard_map'd over dp=2, bit-matches direct per-shard
+        kernel calls (local shapes are identical, so bf16 rounding is too).
+        On hardware this is exactly how the megakernels engage under a dp
+        mesh — per-device local shapes, no mesh visible to the kernel."""
+        from jax.sharding import PartitionSpec as P
+
+        from qwen3tts_tpu.ops.rope import mrope_cos_sin
+        from qwen3tts_tpu.ops.talker_kernel import talker_decode_step
+
+        cfg = TestMeshKernelEquality.CFG
+        B, dp, pos, t_max = 4, 2, 21, 128
+        H = cfg.hidden_size
+        params = tk.init_talker_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        fused = dict(params)
+        fused["layers"] = tk.fuse_layer_projections(params["layers"])
+        fused["layers"] = {
+            k: (v.astype(jnp.bfloat16) if k in
+                ("qkv_proj", "o_proj", "gate_up_proj", "down_proj") else v)
+            for k, v in fused["layers"].items()
+        }
+
+        cache = tk.make_cache(cfg, B, t_max, jnp.float32)
+        prefill = jax.random.normal(jax.random.PRNGKey(3), (B, pos, H)) * 0.2
+        _, cache = tk.forward(params, cfg, prefill, cache, jnp.int32(0))
+        x = (jax.random.normal(jax.random.PRNGKey(5), (B, 1, H)) * 0.2).astype(
+            jnp.bfloat16
+        )
+        k_c = cache.k.astype(jnp.bfloat16)
+        v_c = cache.v.astype(jnp.bfloat16)
+        offs = jnp.full((B,), pos, jnp.int32)
+        cos, sin = mrope_cos_sin(
+            jnp.full((B, 1), pos, jnp.int32), cfg.head_dim, cfg.rope_theta,
+            cfg.mrope_section, jnp.float32,
+        )
+
+        def step(xx, kk, vv, oo, cc, ss):
+            h, _, _ = talker_decode_step(
+                fused, cfg, xx, kk, vv, oo, cc, ss, mode="bf16", interpret=True
+            )
+            return h
+
+        mesh = pm.make_mesh(jax.devices()[:dp], tp=1)
+        sharded = jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(P("dp"), P(None, "dp"), P(None, "dp"), P("dp"),
+                      P("dp"), P("dp")),
+            out_specs=P("dp"), check_vma=False,
+        )
+        got = np.asarray(sharded(x, k_c, v_c, offs, cos, sin))
+        for s in range(dp):
+            lo, hi = s * (B // dp), (s + 1) * (B // dp)
+            exp = step(x[lo:hi], k_c[:, lo:hi], v_c[:, lo:hi], offs[lo:hi],
+                       cos[lo:hi], sin[lo:hi])
+            np.testing.assert_array_equal(got[lo:hi], np.asarray(exp))
+
+
+class TestPublicDpAPI:
+    """generate_batch(dp_mesh=) — the public dp scale-out surface."""
+
+    @pytest.fixture(scope="class")
+    def ckpt_dir(self, tmp_path_factory):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from synthetic_ckpt import write_checkpoint
+
+        return write_checkpoint(str(tmp_path_factory.mktemp("dp_ckpt")))
+
+    def _model(self, ckpt_dir, mesh=None):
+        from qwen3tts_tpu.tts import Qwen3TTSModel
+        from synthetic_ckpt import StubTokenizer
+
+        m = Qwen3TTSModel.from_pretrained(ckpt_dir, dtype=jnp.float32, mesh=mesh)
+        m.tokenizer = StubTokenizer()
+        return m
+
+    def test_generate_batch_dp_mesh(self, ckpt_dir):
+        from qwen3tts_tpu.tts import Qwen3TTSError
+
+        m = self._model(ckpt_dir)
+        mesh = pm.make_mesh(jax.devices()[:2], tp=1)
+        outs = m.generate_batch(
+            ["One here", "Two there"], speakers=["Aiden", "Vivian"],
+            max_tokens=4, seed=2, dp_mesh=mesh,
+        )
+        assert len(outs) == 2
+        assert all(np.isfinite(a).all() for a in outs)
+        with pytest.raises(Qwen3TTSError, match="not divisible"):
+            m.generate_batch(
+                ["a", "b", "c"], speakers=["Aiden"] * 3, max_tokens=4,
+                dp_mesh=mesh,
+            )
+        m_tp = self._model(ckpt_dir, mesh=mesh)
+        with pytest.raises(Qwen3TTSError, match="without"):
+            m_tp.generate_batch(
+                ["a", "b"], speakers=["Aiden"] * 2, max_tokens=4, dp_mesh=mesh
+            )
