@@ -45,6 +45,38 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models import batch_generate as bg
 
 
+def _carry_specs() -> bg.BatchCarry:
+    """PartitionSpecs for the DISTRIBUTED BatchCarry: every per-sequence
+    field shards its batch dim over "dp"; the two per-shard scalars (the
+    lockstep counter and the PRNG key) carry a leading [dp] axis — shards
+    advance independently (per-shard early exit, per-shard key streams),
+    so they cannot be replicated scalars."""
+    return bg.BatchCarry(
+        step=P("dp"), steps=P("dp"), frames=P("dp"), done=P("dp"),
+        cur_input=P("dp"), cache=P(None, "dp"), offsets=P("dp"),
+        seen=P("dp"), codes=P("dp"), tokens=P("dp"), key=P("dp"),
+    )
+
+
+def _localize(c: bg.BatchCarry) -> bg.BatchCarry:
+    """Distributed carry -> the per-shard BatchCarry the single-chip
+    program expects (strip the [1] shard axis off step/key)."""
+    return c._replace(step=c.step[0], key=c.key[0])
+
+
+def _distribute(c: bg.BatchCarry) -> bg.BatchCarry:
+    return c._replace(step=c.step[None], key=c.key[None])
+
+
+def global_step(carry: bg.BatchCarry) -> int:
+    """Host-side lockstep counter that works for both carry flavors: the
+    scalar single-chip `step` and the [dp] per-shard distributed `step`
+    (the max is the right chunk base — lagging shards are all-done ones)."""
+    import numpy as np
+
+    return int(np.asarray(jax.device_get(carry.step)).max())
+
+
 def dp_size(mesh: Mesh) -> int:
     """Usable data-parallel width of a ("dp", "tp") mesh (tp must be 1:
     the fast path replicates whole-model weights per device)."""
@@ -133,3 +165,129 @@ def generate_codes_batch_dp(
         trailing_embeds, trailing_lens, tts_pad_embed, cache,
         jnp.asarray(max_steps, jnp.int32), key,
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous batching under dp: the three serving entry points
+# (models/batch_generate.py: prefill_start_batch / generate_chunk_batch /
+# admit_slot) shard_map'd over "dp" with a DISTRIBUTED carry — per-sequence
+# state sharded, the lockstep counter and PRNG key per-shard ([dp]-leading).
+# Slots keep their GLOBAL indices at the API: slot s lives on shard
+# s // (B/dp); admit broadcasts the prefill to every shard (SPMD computes
+# everywhere) and the owner shard alone commits the update.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "talker_cfg", "cp_cfg", "sampling", "max_frames"),
+)
+def prefill_start_batch_dp(
+    talker_params, cp_params, *, mesh: Mesh, talker_cfg, cp_cfg, sampling,
+    prefill_embeds, prefill_lens, trailing_embeds, trailing_lens,
+    tts_pad_embed, cache, max_frames: int, key,
+) -> bg.BatchCarry:
+    """Sharded prefill + first frame; returns a DISTRIBUTED carry."""
+    dp = dp_size(mesh)
+    assert prefill_embeds.shape[0] % dp == 0
+
+    def shard_fn(tkp, cpp, pe, pl, te, tl, pad, cache_, key_):
+        key_ = jax.random.fold_in(key_, jax.lax.axis_index("dp"))
+        c = bg.prefill_start_batch.__wrapped__(
+            tkp, cpp, talker_cfg=talker_cfg, cp_cfg=cp_cfg, sampling=sampling,
+            prefill_embeds=pe, prefill_lens=pl, trailing_embeds=te,
+            trailing_lens=tl, tts_pad_embed=pad, cache=cache_,
+            max_frames=max_frames, key=key_,
+        )
+        return _distribute(c)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp"), P(),
+                  P(None, "dp"), P()),
+        out_specs=_carry_specs(), check_vma=False,
+    )
+    return fn(talker_params, cp_params, prefill_embeds, prefill_lens,
+              trailing_embeds, trailing_lens, tts_pad_embed, cache, key)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "talker_cfg", "cp_cfg", "sampling"),
+    donate_argnames=("carry",),
+)
+def generate_chunk_batch_dp(
+    talker_params, cp_params, carry: bg.BatchCarry, *, mesh: Mesh,
+    talker_cfg, cp_cfg, sampling, trailing_embeds, trailing_lens,
+    tts_pad_embed, max_steps, until_step,
+) -> bg.BatchCarry:
+    """One decode chunk per shard (distributed carry in/out). ``until_step``
+    bounds every shard's lockstep counter; a shard that idled while all its
+    sequences were done catches up in one call after a new admit (its
+    per-sequence ``max_steps`` caps still bound total work)."""
+
+    def shard_fn(tkp, cpp, c, te, tl, pad, ms, until):
+        c = bg.generate_chunk_batch.__wrapped__(
+            tkp, cpp, _localize(c), talker_cfg=talker_cfg, cp_cfg=cp_cfg,
+            sampling=sampling, trailing_embeds=te, trailing_lens=tl,
+            tts_pad_embed=pad, max_steps=ms, until_step=until,
+        )
+        return _distribute(c)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), _carry_specs(), P("dp"), P("dp"), P(),
+                  P("dp"), P()),
+        out_specs=_carry_specs(), check_vma=False,
+    )
+    return fn(talker_params, cp_params, carry, trailing_embeds,
+              trailing_lens, tts_pad_embed,
+              jnp.asarray(max_steps, jnp.int32), jnp.asarray(until_step, jnp.int32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "talker_cfg", "cp_cfg", "sampling"),
+    donate_argnames=("carry", "trailing_all"),
+)
+def admit_slot_dp(
+    talker_params, cp_params, carry: bg.BatchCarry, trailing_all, *,
+    mesh: Mesh, talker_cfg, cp_cfg, sampling, slot, prefill_embeds,
+    prefill_len, trailing_row, trailing_len, tts_pad_embed, key,
+) -> tuple[bg.BatchCarry, jnp.ndarray]:
+    """Admit a request into GLOBAL slot ``slot`` between decode chunks.
+
+    Every shard runs the (single-sequence) prefill — SPMD executes the same
+    program everywhere and the work is one prompt — but only the owner
+    shard (slot // local_B) commits the carry/trailing update; the others
+    keep their state bit-identical, including their PRNG keys (the owner
+    folds the admit key by its shard index so admission never correlates
+    shard streams)."""
+
+    def shard_fn(tkp, cpp, c, tr_all, slot_, pe, pl, trow, tlen, pad, key_):
+        c = _localize(c)
+        local_b = c.codes.shape[0]
+        idx = jax.lax.axis_index("dp")
+        owner = slot_ // local_b
+        is_owner = idx == owner
+        local_slot = jnp.where(is_owner, slot_ - owner * local_b, 0)
+        new_c, new_tr = bg.admit_slot.__wrapped__(
+            tkp, cpp, c, tr_all, talker_cfg=talker_cfg, cp_cfg=cp_cfg,
+            sampling=sampling, slot=local_slot, prefill_embeds=pe,
+            prefill_len=pl, trailing_row=trow, trailing_len=tlen,
+            tts_pad_embed=pad, key=jax.random.fold_in(key_, idx),
+        )
+        c_out = jax.tree.map(lambda n, o: jnp.where(is_owner, n, o), new_c, c)
+        tr_out = jnp.where(is_owner, new_tr, tr_all)
+        return _distribute(c_out), tr_out
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), _carry_specs(), P("dp"), P(), P(), P(), P(),
+                  P(), P(), P()),
+        out_specs=(_carry_specs(), P("dp")), check_vma=False,
+    )
+    return fn(talker_params, cp_params, carry, trailing_all,
+              jnp.asarray(slot, jnp.int32), prefill_embeds,
+              jnp.asarray(prefill_len, jnp.int32), trailing_row,
+              jnp.asarray(trailing_len, jnp.int32), tts_pad_embed, key)

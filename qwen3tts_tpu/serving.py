@@ -272,6 +272,7 @@ class Qwen3TTSServer:
         cache_len: int | None = None,
         dtype=jnp.bfloat16,
         mesh=None,
+        dp_mesh=None,
         kv_quant: bool = False,
     ):
         import threading
@@ -292,8 +293,41 @@ class Qwen3TTSServer:
         )
         self.dtype = dtype
         self.mesh = mesh
+        self.dp_mesh = dp_mesh
         self.kv_quant = kv_quant
         self.total_iterations = 0
+
+        # device-call routing: dp_mesh shard_maps the three serving programs
+        # over "dp" (weights replicated, slots sharded — slot s lives on
+        # shard s // (slots/dp); see parallel/dp.py), so the single-chip
+        # fast path runs unmodified per device. Mutually exclusive with the
+        # TP ambient mesh.
+        import functools
+
+        if dp_mesh is not None:
+            if mesh is not None:
+                raise ValueError(
+                    "dp_mesh replicates the single-chip configuration; it "
+                    "does not compose with a TP mesh (pass one or the other)"
+                )
+            from .parallel import dp as pdp
+
+            self._dp = pdp.dp_size(dp_mesh)
+            if slots % self._dp != 0:
+                raise ValueError(
+                    f"slots={slots} must be divisible by the dp size "
+                    f"{self._dp} (each shard owns slots/dp cache slots)"
+                )
+            self._admit = functools.partial(pdp.admit_slot_dp, mesh=dp_mesh)
+            self._chunk = functools.partial(
+                pdp.generate_chunk_batch_dp, mesh=dp_mesh
+            )
+            self._step = pdp.global_step
+        else:
+            self._dp = 0
+            self._admit = bg.admit_slot
+            self._chunk = bg.generate_chunk_batch
+            self._step = lambda c: int(np.asarray(c.step))
 
         self._lock = threading.Condition()
         self._queue: list = []  # [(BatchItem, Future)]
@@ -362,8 +396,25 @@ class Qwen3TTSServer:
             from .parallel import mesh as pm
 
             cache = pm.shard_cache(cache, self.mesh)
+        if self._dp:
+            # distributed carry: per-shard lockstep counters / PRNG keys
+            # (pre-folded so shard streams never correlate), cache batch dim
+            # materialized sharded
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            step = jnp.zeros((self._dp,), jnp.int32)
+            key = jnp.stack(
+                [jax.random.fold_in(jax.random.PRNGKey(0), i)
+                 for i in range(self._dp)]
+            )
+            cache = jax.device_put(
+                cache, NamedSharding(self.dp_mesh, P(None, "dp"))
+            )
+        else:
+            step = jnp.int32(0)
+            key = jax.random.PRNGKey(0)
         return bg.BatchCarry(
-            step=jnp.int32(0),
+            step=step,
             steps=jnp.zeros((B,), jnp.int32),
             frames=jnp.zeros((B,), jnp.int32),
             done=jnp.ones((B,), bool),
@@ -375,7 +426,7 @@ class Qwen3TTSServer:
                 (B, self.max_frames, self.talker_cfg.num_code_groups), jnp.int32
             ),
             tokens=jnp.zeros((B, self.max_frames), jnp.int32),
-            key=jax.random.PRNGKey(0),
+            key=key,
         )
 
     def _worker(self):
@@ -457,7 +508,7 @@ class Qwen3TTSServer:
                 t = item.trailing.astype(self.dtype)
                 t = jnp.pad(t, ((0, self.trailing_bucket - t.shape[0]), (0, 0)))
                 with self._scope():
-                    carry, trailing_all = bg.admit_slot(
+                    carry, trailing_all = self._admit(
                         self.talker_params,
                         self.cp_params,
                         carry,
@@ -486,9 +537,9 @@ class Qwen3TTSServer:
             # one lockstep chunk over the active slots
             active = np.asarray([f is not None for f in slot_fut])
             max_steps = np.where(active, slot_caps, 0).astype(np.int32)
-            step_now = int(carry.step)
+            step_now = self._step(carry)
             with self._scope():
-                carry = bg.generate_chunk_batch(
+                carry = self._chunk(
                     self.talker_params,
                     self.cp_params,
                     carry,
@@ -499,7 +550,7 @@ class Qwen3TTSServer:
                     max_steps=jnp.asarray(max_steps),
                     until_step=jnp.int32(step_now + self.chunk_frames),
                 )
-            self.total_iterations = int(carry.step)
+            self.total_iterations = self._step(carry)
 
             done = np.asarray(carry.done)
             for s in range(B):

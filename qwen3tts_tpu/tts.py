@@ -1382,6 +1382,7 @@ class Qwen3TTSModel:
         top_k: int = 50,
         top_p: float = 1.0,
         repetition_penalty: float = 1.05,
+        dp_mesh=None,
     ) -> "TTSService":
         """Create a long-lived synthesis service over this model.
 
@@ -1394,7 +1395,18 @@ class Qwen3TTSModel:
         ``max_frames`` caps every request's codec-frame count for the life
         of the service (the compiled shapes depend on it): a request whose
         own token cap exceeds it gets truncated audio, and ``submit`` warns
-        when that happens. Size it for the longest text you expect."""
+        when that happens. Size it for the longest text you expect.
+
+        ``dp_mesh``: a tp=1 mesh — the serving programs are shard_map'd
+        over "dp" so each device runs the single-chip fast path on its
+        slots/dp cache slots (parallel/dp.py); throughput scales with the
+        device count. Requires slots divisible by the dp size and a model
+        loaded without ``mesh=``."""
+        if dp_mesh is not None and self.mesh is not None:
+            raise Qwen3TTSError(
+                "serve(dp_mesh=) needs a model loaded without mesh= "
+                "(dp replicates the single-chip configuration)"
+            )
         return TTSService(
             self,
             slots=slots,
@@ -1403,6 +1415,7 @@ class Qwen3TTSModel:
             prompt_bucket=prompt_bucket,
             trailing_bucket=trailing_bucket,
             sampling=self._sampling(temperature, top_k, top_p, repetition_penalty),
+            dp_mesh=dp_mesh,
         )
 
     def generate_stream(
@@ -1590,12 +1603,13 @@ class TTSService:
 
     def __init__(
         self, model: Qwen3TTSModel, *, slots, chunk_frames, max_frames,
-        prompt_bucket, trailing_bucket, sampling,
+        prompt_bucket, trailing_bucket, sampling, dp_mesh=None,
     ):
         self._model = model
         self._kw = dict(
             slots=slots, chunk_frames=chunk_frames, max_frames=max_frames,
             prompt_bucket=prompt_bucket, trailing_bucket=trailing_bucket,
+            dp_mesh=dp_mesh,
         )
         import threading
 

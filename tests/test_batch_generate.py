@@ -300,3 +300,62 @@ class TestServer:
         with pytest.raises(RuntimeError, match="injected device failure"):
             fut.result(timeout=120)
         srv.close(wait=False)
+
+
+class TestServerDp:
+    """Qwen3TTSServer(dp_mesh=): continuous batching shard_map'd over dp.
+
+    Greedy f32 oracle: every request's codes must equal its independent
+    single-sequence run, exactly as the single-chip server test asserts —
+    the dp server runs the same per-shard program (parallel/dp.py), so the
+    equality carries over, including admissions into both shards."""
+
+    def _server(self, params, slots=4, **kw):
+        from qwen3tts_tpu.serving import Qwen3TTSServer
+
+        talker, cpp = params
+        return Qwen3TTSServer(
+            talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=GREEDY,
+            tts_pad_embed=jnp.zeros((TINY_TALKER.hidden_size,)),
+            slots=slots, chunk_frames=3, max_frames=16,
+            prompt_bucket=16, trailing_bucket=8, cache_len=64,
+            dtype=jnp.float32, **kw,
+        )
+
+    def _item(self, i, plen, cap):
+        from qwen3tts_tpu.serving import BatchItem
+
+        h = TINY_TALKER.hidden_size
+        p = jax.random.normal(jax.random.PRNGKey(100 + i), (1, plen, h)) * 0.1
+        t = jax.random.normal(jax.random.PRNGKey(200 + i), (3, h)) * 0.1
+        return BatchItem(prefill_embeds=p, trailing=t, max_steps=cap)
+
+    def test_dp_server_matches_single_runs(self, params):
+        from qwen3tts_tpu.parallel import mesh as pm
+
+        mesh = pm.make_mesh(jax.devices()[:2], tp=1)
+        srv = self._server(params, slots=4, dp_mesh=mesh)
+        # 6 requests through 4 slots on 2 shards: exercises initial admits
+        # on both shards AND refill admissions after harvests
+        specs = [(6, 4), (5, 4), (7, 5), (4, 3), (6, 3), (5, 5)]
+        items = [self._item(i, plen, cap) for i, (plen, cap) in enumerate(specs)]
+        futs = [srv.submit(it) for it in items]
+        outs = [f.result(timeout=600) for f in futs]
+        srv.close()
+        for i, it in enumerate(items):
+            ref = _single(
+                params, it.prefill_embeds[0], it.prefill_embeds.shape[1],
+                it.trailing, 3, max_steps=it.max_steps, max_frames=16,
+            )
+            n = int(ref.n_frames)
+            assert outs[i].n_frames == n
+            np.testing.assert_array_equal(outs[i].codes, np.asarray(ref.codes)[:n])
+
+    def test_dp_server_validates(self, params):
+        from qwen3tts_tpu.parallel import mesh as pm
+
+        mesh = pm.make_mesh(jax.devices()[:2], tp=1)
+        with pytest.raises(ValueError, match="divisible"):
+            self._server(params, slots=3, dp_mesh=mesh)
+        with pytest.raises(ValueError, match="does not compose"):
+            self._server(params, slots=4, dp_mesh=mesh, mesh=mesh)

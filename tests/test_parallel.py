@@ -421,3 +421,109 @@ class TestPublicDpAPI:
             m_tp.generate_batch(
                 ["a", "b"], speakers=["Aiden"] * 2, max_tokens=4, dp_mesh=mesh
             )
+
+
+class TestDpContinuous:
+    """Continuous batching under dp (parallel/dp.py): prefill_start /
+    generate_chunk / admit_slot shard_map'd with the distributed carry.
+    Oracle: the dp=2 pipeline (prefill -> chunk -> admit into shard 1 ->
+    chunk) bit-matches the same pipeline composed per shard with the same
+    folded keys (f32 CPU, same local shapes -> exact)."""
+
+    def test_dp_pipeline_matches_per_shard(self, params):
+        from qwen3tts_tpu.models import batch_generate as bg
+        from qwen3tts_tpu.parallel import dp as pdp
+
+        tkp, cpp = params
+        cfg, cpc = TP_TALKER, TP_TALKER.code_predictor_config
+        B, ndp, H = 4, 2, cfg.hidden_size
+        lb = B // ndp
+        sampling = gen.SamplingConfig(
+            temperature=0.9, top_k=50, top_p=1.0, repetition_penalty=1.05
+        )
+        common = dict(talker_cfg=cfg, cp_cfg=cpc, sampling=sampling)
+        key_pref, key_admit = jax.random.PRNGKey(21), jax.random.PRNGKey(22)
+        pe = jax.random.normal(jax.random.PRNGKey(3), (B, 16, H), jnp.float32) * 0.2
+        pl = jnp.asarray([16, 12, 9, 13], jnp.int32)
+        te = jax.random.normal(jax.random.PRNGKey(4), (B, 8, H), jnp.float32) * 0.2
+        tl = jnp.asarray([8, 3, 5, 2], jnp.int32)
+        pad = jnp.zeros((H,), jnp.float32)
+        max_steps = jnp.full((B,), 6, jnp.int32)
+        max_frames = 8
+        slot = 3  # owned by shard 1 (local slot 1)
+        admit_pe = jax.random.normal(jax.random.PRNGKey(5), (1, 16, H)) * 0.2
+        admit_trow = jax.random.normal(jax.random.PRNGKey(6), (8, H)) * 0.2
+
+        mesh = pm.make_mesh(jax.devices()[:ndp], tp=1)
+        carry = pdp.prefill_start_batch_dp(
+            tkp, cpp, mesh=mesh, **common, prefill_embeds=pe, prefill_lens=pl,
+            trailing_embeds=te, trailing_lens=tl, tts_pad_embed=pad,
+            cache=tk.make_cache(cfg, B, 128, jnp.float32),
+            max_frames=max_frames, key=key_pref,
+        )
+        assert carry.step.shape == (ndp,)
+        carry = pdp.generate_chunk_batch_dp(
+            tkp, cpp, carry, mesh=mesh, **common, trailing_embeds=te,
+            trailing_lens=tl, tts_pad_embed=pad, max_steps=max_steps,
+            until_step=3,
+        )
+        assert pdp.global_step(carry) == 3
+        carry, trailing_all = pdp.admit_slot_dp(
+            tkp, cpp, carry, te, mesh=mesh, **common, slot=slot,
+            prefill_embeds=admit_pe, prefill_len=11, trailing_row=admit_trow,
+            trailing_len=6, tts_pad_embed=pad, key=key_admit,
+        )
+        carry = pdp.generate_chunk_batch_dp(
+            tkp, cpp, carry, mesh=mesh, **common,
+            trailing_embeds=trailing_all,
+            trailing_lens=tl.at[slot].set(6), tts_pad_embed=pad,
+            max_steps=max_steps, until_step=6,
+        )
+
+        # ---- per-shard oracle ----
+        for s in range(ndp):
+            lo, hi = s * lb, (s + 1) * lb
+            c = bg.prefill_start_batch(
+                tkp, cpp, **common, prefill_embeds=pe[lo:hi],
+                prefill_lens=pl[lo:hi], trailing_embeds=te[lo:hi],
+                trailing_lens=tl[lo:hi], tts_pad_embed=pad,
+                cache=tk.make_cache(cfg, lb, 128, jnp.float32),
+                max_frames=max_frames, key=jax.random.fold_in(key_pref, s),
+            )
+            tr = te[lo:hi]
+            c = bg.generate_chunk_batch(
+                tkp, cpp, c, **common, trailing_embeds=tr,
+                trailing_lens=tl[lo:hi], tts_pad_embed=pad,
+                max_steps=max_steps[lo:hi], until_step=jnp.int32(3),
+            )
+            if slot // lb == s:
+                c, tr = bg.admit_slot(
+                    tkp, cpp, c, tr, **common,
+                    slot=jnp.int32(slot - s * lb), prefill_embeds=admit_pe,
+                    prefill_len=jnp.int32(11), trailing_row=admit_trow,
+                    trailing_len=jnp.int32(6), tts_pad_embed=pad,
+                    key=jax.random.fold_in(key_admit, s),
+                )
+            c = bg.generate_chunk_batch(
+                tkp, cpp, c, **common, trailing_embeds=tr,
+                trailing_lens=tl[lo:hi].at[slot - s * lb if slot // lb == s else 0]
+                .set(6) if slot // lb == s else tl[lo:hi],
+                tts_pad_embed=pad, max_steps=max_steps[lo:hi],
+                until_step=jnp.int32(6),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(carry.codes[lo:hi]), np.asarray(c.codes)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(carry.tokens[lo:hi]), np.asarray(c.tokens)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(carry.frames[lo:hi]), np.asarray(c.frames)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(carry.steps[lo:hi]), np.asarray(c.steps)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(carry.done[lo:hi]), np.asarray(c.done)
+            )
+            assert int(carry.step[s]) == int(c.step)
