@@ -34,6 +34,76 @@ class _Slot:
     request_idx: int = -1  # which request occupies this slot (-1 = idle)
 
 
+def _route_device_fns(dp_mesh, mesh, slots):
+    """(dp, admit, chunk, step): the three serving device programs, either
+    single-chip (models/batch_generate.py) or shard_map'd over a tp=1
+    dp mesh (parallel/dp.py — weights replicated, slots sharded, slot s on
+    shard s // (slots/dp)). dp=0 marks the single-chip flavor."""
+    import functools
+
+    if dp_mesh is None:
+        return (
+            0, bg.admit_slot, bg.generate_chunk_batch,
+            lambda c: int(np.asarray(c.step)),
+        )
+    if mesh is not None:
+        raise ValueError(
+            "dp_mesh replicates the single-chip configuration; it "
+            "does not compose with a TP mesh (pass one or the other)"
+        )
+    from .parallel import dp as pdp
+
+    dp = pdp.dp_size(dp_mesh)
+    if slots % dp != 0:
+        raise ValueError(
+            f"slots={slots} must be divisible by the dp size {dp} "
+            "(each shard owns slots/dp cache slots)"
+        )
+    return (
+        dp,
+        functools.partial(pdp.admit_slot_dp, mesh=dp_mesh),
+        functools.partial(pdp.generate_chunk_batch_dp, mesh=dp_mesh),
+        pdp.global_step,
+    )
+
+
+def _empty_carry(talker_cfg, slots, max_frames, cache_len, dtype, kv_quant,
+                 mesh, dp_mesh, dp):
+    """All-slots-idle carry (done=True everywhere) that admissions fill.
+    dp flavor: per-shard lockstep counters and pre-folded PRNG keys so
+    shard streams never correlate; cache batch dim materialized sharded."""
+    B, h = slots, talker_cfg.hidden_size
+    cache = tk.make_cache(talker_cfg, B, cache_len, dtype, quantized=kv_quant)
+    if mesh is not None:
+        from .parallel import mesh as pm
+
+        cache = pm.shard_cache(cache, mesh)
+    if dp:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        step = jnp.zeros((dp,), jnp.int32)
+        key = jnp.stack(
+            [jax.random.fold_in(jax.random.PRNGKey(0), i) for i in range(dp)]
+        )
+        cache = jax.device_put(cache, NamedSharding(dp_mesh, P(None, "dp")))
+    else:
+        step = jnp.int32(0)
+        key = jax.random.PRNGKey(0)
+    return bg.BatchCarry(
+        step=step,
+        steps=jnp.zeros((B,), jnp.int32),
+        frames=jnp.zeros((B,), jnp.int32),
+        done=jnp.ones((B,), bool),
+        cur_input=jnp.zeros((B, 1, h), dtype),
+        cache=cache,
+        offsets=jnp.zeros((B,), jnp.int32),
+        seen=jnp.zeros((B, talker_cfg.vocab_size), bool),
+        codes=jnp.zeros((B, max_frames, talker_cfg.num_code_groups), jnp.int32),
+        tokens=jnp.zeros((B, max_frames), jnp.int32),
+        key=key,
+    )
+
+
 @dataclass
 class BatchItem:
     """One synthesis request: prebuilt prompt tensors + decode cap."""
@@ -69,6 +139,7 @@ class ContinuousBatcher:
         cache_len: int | None = None,
         dtype=jnp.bfloat16,
         mesh=None,
+        dp_mesh=None,
         kv_quant: bool = False,
     ):
         self.talker_params = talker_params
@@ -82,9 +153,13 @@ class ContinuousBatcher:
         self.max_frames = max_frames
         self.dtype = dtype
         self.mesh = mesh
+        self.dp_mesh = dp_mesh
         self.kv_quant = kv_quant
         self.cache_len = cache_len
         self.total_iterations = 0  # lockstep decode iterations executed
+        self._dp, self._admit, self._chunk, self._step = _route_device_fns(
+            dp_mesh, mesh, slots
+        )
 
     def _scope(self):
         if self.mesh is None:
@@ -101,7 +176,9 @@ class ContinuousBatcher:
         N = len(items)
         if N == 0:
             return []
-        B = min(self.slots, N)
+        # dp mode keeps B = slots (the shard decomposition is fixed by the
+        # mesh; surplus slots idle at cap 0) — single-chip can shrink to N
+        B = self.slots if self._dp else min(self.slots, N)
         p_bucket = pad_to_bucket(max(it.prefill_embeds.shape[1] for it in items))
         t_bucket = pad_to_bucket(max(max(it.trailing.shape[0] for it in items), 1))
         caps = np.asarray(
@@ -121,38 +198,55 @@ class ContinuousBatcher:
             talker_cfg=self.talker_cfg, cp_cfg=self.cp_cfg, sampling=self.sampling
         )
 
-        # ---- initial fill: batched prefill of the first B requests ----
-        trailing_all = jnp.stack([pad_trail(items[i]) for i in range(B)])
-        trail_lens = np.asarray(
-            [items[i].trailing.shape[0] for i in range(B)], np.int32
-        )
-        slot_req = list(range(B))  # slot -> request idx
-        slot_caps = caps[:B].copy()
-        cache = tk.make_cache(
-            self.talker_cfg, B, cache_len, self.dtype, quantized=self.kv_quant
-        )
-        if self.mesh is not None:
-            from .parallel import mesh as pm
-
-            cache = pm.shard_cache(cache, self.mesh)
-        with self._scope():
-            carry = bg.prefill_start_batch(
-                self.talker_params,
-                self.cp_params,
-                **common,
-                prefill_embeds=jnp.stack([pad_prompt(items[i])[0] for i in range(B)]),
-                prefill_lens=jnp.asarray(
-                    [items[i].prefill_embeds.shape[1] for i in range(B)], jnp.int32
-                ),
-                trailing_embeds=trailing_all,
-                trailing_lens=jnp.asarray(trail_lens),
-                tts_pad_embed=self.tts_pad,
-                cache=cache,
-                max_frames=self.max_frames,
-                key=jax.random.PRNGKey(items[0].seed),
+        if self._dp:
+            # dp: every request enters via the (owner-shard) admit program;
+            # start all-idle and let the loop's admission pass fill slots
+            trailing_all = jnp.zeros(
+                (B, t_bucket, self.talker_cfg.hidden_size), self.dtype
             )
+            trail_lens = np.zeros((B,), np.int32)
+            slot_req = [-1] * B
+            slot_caps = np.zeros((B,), np.int32)
+            carry = _empty_carry(
+                self.talker_cfg, B, self.max_frames, cache_len, self.dtype,
+                self.kv_quant, self.mesh, self.dp_mesh, self._dp,
+            )
+            next_req = 0
+        else:
+            # ---- initial fill: batched prefill of the first B requests ----
+            trailing_all = jnp.stack([pad_trail(items[i]) for i in range(B)])
+            trail_lens = np.asarray(
+                [items[i].trailing.shape[0] for i in range(B)], np.int32
+            )
+            slot_req = list(range(B))  # slot -> request idx
+            slot_caps = caps[:B].copy()
+            cache = tk.make_cache(
+                self.talker_cfg, B, cache_len, self.dtype, quantized=self.kv_quant
+            )
+            if self.mesh is not None:
+                from .parallel import mesh as pm
 
-        next_req = B
+                cache = pm.shard_cache(cache, self.mesh)
+            with self._scope():
+                carry = bg.prefill_start_batch(
+                    self.talker_params,
+                    self.cp_params,
+                    **common,
+                    prefill_embeds=jnp.stack(
+                        [pad_prompt(items[i])[0] for i in range(B)]
+                    ),
+                    prefill_lens=jnp.asarray(
+                        [items[i].prefill_embeds.shape[1] for i in range(B)],
+                        jnp.int32,
+                    ),
+                    trailing_embeds=trailing_all,
+                    trailing_lens=jnp.asarray(trail_lens),
+                    tts_pad_embed=self.tts_pad,
+                    cache=cache,
+                    max_frames=self.max_frames,
+                    key=jax.random.PRNGKey(items[0].seed),
+                )
+            next_req = B
         outputs: list[BatchOutput | None] = [None] * N
         harvested = np.zeros(N, bool)
         start_iter = np.zeros(N, np.int64)
@@ -161,7 +255,7 @@ class ContinuousBatcher:
             # read back per-slot state (host decides admissions/harvests)
             done = np.asarray(carry.done)
             frames = np.asarray(carry.frames)
-            step_now = int(carry.step)
+            step_now = self._step(carry)
             self.total_iterations = step_now
 
             newly_done = [
@@ -187,7 +281,7 @@ class ContinuousBatcher:
                     next_req += 1
                     it = items[r]
                     with self._scope():
-                        carry, trailing_all = bg.admit_slot(
+                        carry, trailing_all = self._admit(
                             self.talker_params,
                             self.cp_params,
                             carry,
@@ -223,7 +317,7 @@ class ContinuousBatcher:
                 np.asarray([slot_req[s] >= 0 for s in range(B)]), slot_caps, 0
             ).astype(np.int32)
             with self._scope():
-                carry = bg.generate_chunk_batch(
+                carry = self._chunk(
                     self.talker_params,
                     self.cp_params,
                     carry,
@@ -297,37 +391,9 @@ class Qwen3TTSServer:
         self.kv_quant = kv_quant
         self.total_iterations = 0
 
-        # device-call routing: dp_mesh shard_maps the three serving programs
-        # over "dp" (weights replicated, slots sharded — slot s lives on
-        # shard s // (slots/dp); see parallel/dp.py), so the single-chip
-        # fast path runs unmodified per device. Mutually exclusive with the
-        # TP ambient mesh.
-        import functools
-
-        if dp_mesh is not None:
-            if mesh is not None:
-                raise ValueError(
-                    "dp_mesh replicates the single-chip configuration; it "
-                    "does not compose with a TP mesh (pass one or the other)"
-                )
-            from .parallel import dp as pdp
-
-            self._dp = pdp.dp_size(dp_mesh)
-            if slots % self._dp != 0:
-                raise ValueError(
-                    f"slots={slots} must be divisible by the dp size "
-                    f"{self._dp} (each shard owns slots/dp cache slots)"
-                )
-            self._admit = functools.partial(pdp.admit_slot_dp, mesh=dp_mesh)
-            self._chunk = functools.partial(
-                pdp.generate_chunk_batch_dp, mesh=dp_mesh
-            )
-            self._step = pdp.global_step
-        else:
-            self._dp = 0
-            self._admit = bg.admit_slot
-            self._chunk = bg.generate_chunk_batch
-            self._step = lambda c: int(np.asarray(c.step))
+        self._dp, self._admit, self._chunk, self._step = _route_device_fns(
+            dp_mesh, mesh, slots
+        )
 
         self._lock = threading.Condition()
         self._queue: list = []  # [(BatchItem, Future)]
@@ -388,45 +454,9 @@ class Qwen3TTSServer:
         return jax.set_mesh(self.mesh)
 
     def _empty_carry(self):
-        B, h = self.slots, self.talker_cfg.hidden_size
-        cache = tk.make_cache(
-            self.talker_cfg, B, self.cache_len, self.dtype, quantized=self.kv_quant
-        )
-        if self.mesh is not None:
-            from .parallel import mesh as pm
-
-            cache = pm.shard_cache(cache, self.mesh)
-        if self._dp:
-            # distributed carry: per-shard lockstep counters / PRNG keys
-            # (pre-folded so shard streams never correlate), cache batch dim
-            # materialized sharded
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            step = jnp.zeros((self._dp,), jnp.int32)
-            key = jnp.stack(
-                [jax.random.fold_in(jax.random.PRNGKey(0), i)
-                 for i in range(self._dp)]
-            )
-            cache = jax.device_put(
-                cache, NamedSharding(self.dp_mesh, P(None, "dp"))
-            )
-        else:
-            step = jnp.int32(0)
-            key = jax.random.PRNGKey(0)
-        return bg.BatchCarry(
-            step=step,
-            steps=jnp.zeros((B,), jnp.int32),
-            frames=jnp.zeros((B,), jnp.int32),
-            done=jnp.ones((B,), bool),
-            cur_input=jnp.zeros((B, 1, h), self.dtype),
-            cache=cache,
-            offsets=jnp.zeros((B,), jnp.int32),
-            seen=jnp.zeros((B, self.talker_cfg.vocab_size), bool),
-            codes=jnp.zeros(
-                (B, self.max_frames, self.talker_cfg.num_code_groups), jnp.int32
-            ),
-            tokens=jnp.zeros((B, self.max_frames), jnp.int32),
-            key=key,
+        return _empty_carry(
+            self.talker_cfg, self.slots, self.max_frames, self.cache_len,
+            self.dtype, self.kv_quant, self.mesh, self.dp_mesh, self._dp,
         )
 
     def _worker(self):

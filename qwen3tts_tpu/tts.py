@@ -1316,6 +1316,7 @@ class Qwen3TTSModel:
         seed: int = 0,
         slots: int = 4,
         chunk_frames: int | None = None,
+        dp_mesh=None,
     ) -> list[np.ndarray]:
         """Continuous-batching synthesis: N requests over ``slots`` cache
         slots with admission between decode chunks (serving.py).
@@ -1325,6 +1326,10 @@ class Qwen3TTSModel:
         survives ragged lengths and N can exceed the slot count. Returns one
         waveform per text, in order (empty waveform if a request EOSed on
         its first frame).
+
+        ``dp_mesh``: tp=1 mesh — admit/chunk run shard_map'd over "dp"
+        (parallel/dp.py; slots must divide by the dp size, model loaded
+        without ``mesh=``).
         """
         from .serving import BatchItem, ContinuousBatcher
 
@@ -1359,6 +1364,7 @@ class Qwen3TTSModel:
             max_frames=pad_to_bucket(max(caps), GEN_BUCKETS),
             dtype=self.dtype,
             mesh=self.mesh,
+            dp_mesh=dp_mesh,
         )
         outs = batcher.run(items)
         if all(o.n_frames == 0 for o in outs):

@@ -359,3 +359,28 @@ class TestServerDp:
             self._server(params, slots=3, dp_mesh=mesh)
         with pytest.raises(ValueError, match="does not compose"):
             self._server(params, slots=4, dp_mesh=mesh, mesh=mesh)
+
+
+class TestContinuousBatchingDp(TestContinuousBatching):
+    """ContinuousBatcher(dp_mesh=): in dp mode every request (including the
+    initial wave) enters through the owner-shard admit program and decode
+    chunks run shard_map'd; greedy f32 outputs must still equal independent
+    single-sequence runs."""
+
+    def _run(self, params, items, slots, chunk=3, max_frames=16,
+             kv_quant=False):
+        from qwen3tts_tpu.parallel import mesh as pm
+        from qwen3tts_tpu.serving import ContinuousBatcher
+
+        talker, cpp = params
+        b = ContinuousBatcher(
+            talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=GREEDY,
+            tts_pad_embed=jnp.zeros((TINY_TALKER.hidden_size,)),
+            slots=max(slots, 2), chunk_frames=chunk, max_frames=max_frames,
+            dtype=jnp.float32, kv_quant=kv_quant,
+            dp_mesh=pm.make_mesh(jax.devices()[:2], tp=1),
+        )
+        return b.run(items), b
+
+    # inherits the four greedy-equality/throughput tests; the iteration
+    # bound still holds because slot counts and chunk sizes are unchanged
