@@ -527,3 +527,61 @@ class TestDpContinuous:
                 np.asarray(carry.done[lo:hi]), np.asarray(c.done)
             )
             assert int(carry.step[s]) == int(c.step)
+
+
+def test_dp_with_int8_params():
+    """Int8Linear pytree leaves (q + scale) replicate cleanly through the
+    shard_map in_specs prefix — the serving config the dp path actually
+    deploys (weight-only int8). XLA decode inside the shard (kernel gates
+    are platform-gated off on CPU), greedy so results are key-free: the
+    dp=2 run must bit-match per-shard runs."""
+    from qwen3tts_tpu.models import batch_generate as bg
+    from qwen3tts_tpu.ops.quant import quantize_decode_params_int8
+    from qwen3tts_tpu.parallel.dp import generate_codes_batch_dp
+
+    cfg, cpc = TP_TALKER, TP_TALKER.code_predictor_config
+    tkp = quantize_decode_params_int8(
+        tk.init_talker_params(jax.random.PRNGKey(0), cfg, jnp.float32),
+        "codec_head",
+    )
+    cpp = quantize_decode_params_int8(
+        cp.init_code_predictor_params(
+            jax.random.PRNGKey(1), cpc, cfg.hidden_size, jnp.float32
+        ),
+        "lm_head",
+    )
+    B, ndp, H = 4, 2, cfg.hidden_size
+    greedy = gen.SamplingConfig(
+        temperature=0.0, top_k=0, top_p=1.0, repetition_penalty=1.0
+    )
+    pe = jax.random.normal(jax.random.PRNGKey(3), (B, 16, H), jnp.float32) * 0.2
+    pl = jnp.asarray([16, 12, 9, 13], jnp.int32)
+    te = jax.random.normal(jax.random.PRNGKey(4), (B, 8, H), jnp.float32) * 0.2
+    tl = jnp.asarray([8, 3, 5, 2], jnp.int32)
+    pad = jnp.zeros((H,), jnp.float32)
+    kw = dict(
+        talker_cfg=cfg, cp_cfg=cpc, sampling=greedy, tts_pad_embed=pad,
+        max_frames=6, key=jax.random.PRNGKey(9),
+    )
+    mesh = pm.make_mesh(jax.devices()[:ndp], tp=1)
+    got = generate_codes_batch_dp(
+        tkp, cpp, mesh=mesh, prefill_embeds=pe, prefill_lens=pl,
+        trailing_embeds=te, trailing_lens=tl,
+        cache=tk.make_cache(cfg, B, 128, jnp.float32),
+        max_steps=jnp.full((B,), 5, jnp.int32), **kw,
+    )
+    for s in range(ndp):
+        lo, hi = s * (B // ndp), (s + 1) * (B // ndp)
+        exp = bg.generate_codes_batch(
+            tkp, cpp, prefill_embeds=pe[lo:hi], prefill_lens=pl[lo:hi],
+            trailing_embeds=te[lo:hi], trailing_lens=tl[lo:hi],
+            cache=tk.make_cache(cfg, B // ndp, 128, jnp.float32),
+            max_steps=jnp.full((B // ndp,), 5, jnp.int32),
+            **{**kw, "key": jax.random.fold_in(kw["key"], s)},
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.codes[lo:hi]), np.asarray(exp.codes)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.n_frames[lo:hi]), np.asarray(exp.n_frames)
+        )
