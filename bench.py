@@ -275,9 +275,11 @@ def main() -> None:
     # each scenario appends one compact entry; all of it rides the single
     # stdout JSON line so the driver's parsed record carries every number
     scenarios: dict = {}
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1800"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     wanted = [
-        s for s in os.environ.get("BENCH_SCENARIOS", "vd,clone,int4,long").split(",") if s
+        s for s in os.environ.get(
+            "BENCH_SCENARIOS", "vd,batch,clone,int4,long"
+        ).split(",") if s
     ]
 
     def have_time(need_s: float) -> bool:
@@ -300,6 +302,53 @@ def main() -> None:
             "p95_rtf": round(sorted(vd_times)[-1] / audio_s, 4),
         }
         log(f"scenario vd: {json.dumps(scenarios['voicedesign_12lang'])}")
+
+    # Batched serving throughput (no reference counterpart — the batch-1
+    # reference cannot express it): B=32 lockstep, 66 frames/seq, int8
+    # megakernels with grouped-wide batched attention. Driver-reproducible
+    # source of the README/COMPONENTS tok/s number (tools/bench_batch.py is
+    # the parameterized version).
+    if "batch" in wanted and QUANT == "int8" and MODEL == "0b6" and have_time(420):
+        try:
+            from qwen3tts_tpu.models import batch_generate as bg
+
+            BB = int(os.environ.get("BENCH_BATCH_B", "32"))
+            prefB = (
+                jax.random.normal(
+                    jax.random.PRNGKey(13), (BB, p_bucket, cfg.hidden_size),
+                    jnp.float32,
+                ) * 0.2
+            ).astype(jnp.bfloat16)
+            trailB = jnp.zeros((BB, 16, cfg.hidden_size), jnp.bfloat16)
+            cacheB_len = -(-(p_bucket + FRAMES) // 128) * 128
+
+            def run_batch(seed):
+                return bg.generate_codes_batch(
+                    talker_params, cp_params, talker_cfg=cfg, cp_cfg=cpc,
+                    sampling=sampling, prefill_embeds=prefB,
+                    prefill_lens=jnp.full((BB,), PREFILL_LEN, jnp.int32),
+                    trailing_embeds=trailB,
+                    trailing_lens=jnp.full((BB,), 8, jnp.int32),
+                    tts_pad_embed=tts_pad,
+                    cache=tk.make_cache(cfg, BB, cacheB_len, jnp.bfloat16),
+                    max_steps=jnp.full((BB,), FRAMES, jnp.int32),
+                    max_frames=FRAMES, key=jax.random.PRNGKey(seed),
+                )
+
+            rB = run_batch(0)
+            jax.block_until_ready(rB.codes)  # compile+warm
+            t0 = time.time()
+            rB = run_batch(1)
+            jax.block_until_ready(rB.codes)
+            bt = time.time() - t0
+            scenarios[f"batch{BB}_int8"] = {
+                "tok_s": round(BB * FRAMES * 16 / bt),
+                "frame_ms": round(bt / FRAMES * 1000, 2),
+                "per_seq_rtf": round(bt / (FRAMES / CODEC_RATE), 4),
+            }
+            log(f"scenario batch: {json.dumps(scenarios[f'batch{BB}_int8'])}")
+        except Exception as ex:  # pragma: no cover
+            log(f"scenario batch failed: {ex!r}")
 
     # BASELINE configs[3]: voice clone — 3 s reference audio through the
     # speech-tokenizer encoder + ECAPA x-vector (the clone-only prep cost),
