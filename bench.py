@@ -308,7 +308,10 @@ def main() -> None:
     # megakernels with grouped-wide batched attention. Driver-reproducible
     # source of the README/COMPONENTS tok/s number (tools/bench_batch.py is
     # the parameterized version).
-    if "batch" in wanted and QUANT == "int8" and MODEL == "0b6" and have_time(420):
+    if "batch" in wanted and not (QUANT == "int8" and MODEL == "0b6"):
+        log("scenario batch skipped: needs the int8 0.6B config "
+            f"(QUANT={QUANT or 'bf16'}, MODEL={MODEL})")
+    elif "batch" in wanted and have_time(420):
         try:
             from qwen3tts_tpu.models import batch_generate as bg
 

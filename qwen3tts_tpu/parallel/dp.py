@@ -86,6 +86,11 @@ def dp_size(mesh: Mesh) -> int:
             f"use a tp=1 mesh (got tp={mesh.shape['tp']}). For models too "
             "big for one chip, use the TP path (parallel/mesh.py)."
         )
+    if "dp" not in mesh.shape:
+        raise ValueError(
+            f"dp mesh needs a 'dp' axis (got axes {tuple(mesh.shape)}); "
+            "build it with parallel.mesh.make_mesh(devices, tp=1)"
+        )
     return mesh.shape["dp"]
 
 
@@ -222,27 +227,32 @@ def generate_chunk_batch_dp(
     tts_pad_embed, max_steps, until_step,
 ) -> bg.BatchCarry:
     """One decode chunk per shard (distributed carry in/out). ``until_step``
-    bounds every shard's lockstep counter; a shard that idled while all its
-    sequences were done catches up in one call after a new admit (its
-    per-sequence ``max_steps`` caps still bound total work)."""
+    bounds each shard's lockstep counter: a scalar applies globally, a [dp]
+    array gives each shard its own bound. The serving loops pass the
+    per-shard form (local step + chunk_frames) so a shard that idled while
+    its sequences were done keeps chunk-granular harvest/admission instead
+    of catching up to the busiest shard's counter in one huge chunk."""
+    until = jnp.asarray(until_step, jnp.int32)
+    per_shard_until = until.ndim == 1
 
-    def shard_fn(tkp, cpp, c, te, tl, pad, ms, until):
+    def shard_fn(tkp, cpp, c, te, tl, pad, ms, u):
         c = bg.generate_chunk_batch.__wrapped__(
             tkp, cpp, _localize(c), talker_cfg=talker_cfg, cp_cfg=cp_cfg,
             sampling=sampling, trailing_embeds=te, trailing_lens=tl,
-            tts_pad_embed=pad, max_steps=ms, until_step=until,
+            tts_pad_embed=pad, max_steps=ms,
+            until_step=u[0] if per_shard_until else u,
         )
         return _distribute(c)
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), _carry_specs(), P("dp"), P("dp"), P(),
-                  P("dp"), P()),
+                  P("dp"), P("dp") if per_shard_until else P()),
         out_specs=_carry_specs(), check_vma=False,
     )
     return fn(talker_params, cp_params, carry, trailing_embeds,
               trailing_lens, tts_pad_embed,
-              jnp.asarray(max_steps, jnp.int32), jnp.asarray(until_step, jnp.int32))
+              jnp.asarray(max_steps, jnp.int32), until)
 
 
 @functools.partial(

@@ -67,6 +67,41 @@ def _route_device_fns(dp_mesh, mesh, slots):
     )
 
 
+def _pick_free_slot(occupied: list, dp: int):
+    """Next slot to admit into. Single-chip (dp=0): first free slot. dp:
+    the first free slot on the LEAST-LOADED shard — slot s is owned by
+    shard s // (slots/dp), and a shard's per-step cost grows with its
+    local active batch (batched attention is tile-load bound), so packing
+    the low slots would run every chunk at the busiest shard's speed while
+    the others idle."""
+    B = len(occupied)
+    if not dp:
+        return next((i for i in range(B) if not occupied[i]), None)
+    lb = B // dp
+    best, best_load = None, None
+    for sh in range(dp):
+        rows = range(sh * lb, (sh + 1) * lb)
+        free = next((i for i in rows if not occupied[i]), None)
+        if free is None:
+            continue
+        load = sum(bool(occupied[i]) for i in rows)
+        if best_load is None or load < best_load:
+            best, best_load = free, load
+    return best
+
+
+def _until_step(carry, step_now, chunk, dp):
+    """Chunk bound for generate_chunk_batch[_dp]. dp: per-shard (each
+    shard's own counter + chunk) so a previously idle shard keeps
+    chunk-granular harvest/admission instead of catching up to the
+    busiest shard's counter in one huge chunk."""
+    if dp:
+        return jnp.asarray(
+            np.asarray(jax.device_get(carry.step)) + chunk, jnp.int32
+        )
+    return jnp.int32(step_now + chunk)
+
+
 def _empty_carry(talker_cfg, slots, max_frames, cache_len, dtype, kv_quant,
                  mesh, dp_mesh, dp):
     """All-slots-idle carry (done=True everywhere) that admissions fill.
@@ -199,19 +234,62 @@ class ContinuousBatcher:
         )
 
         if self._dp:
-            # dp: every request enters via the (owner-shard) admit program;
-            # start all-idle and let the loop's admission pass fill slots
-            trailing_all = jnp.zeros(
-                (B, t_bucket, self.talker_cfg.hidden_size), self.dtype
-            )
-            trail_lens = np.zeros((B,), np.int32)
+            # ---- dp initial fill: ONE batched shard_map'd prefill ----
+            # Balanced placement (request i -> shard i % dp) so a partial
+            # first wave doesn't pack the low shards; unfilled slots are
+            # inert padding rows (cap 0, slot_req -1) that the first admit
+            # into that slot fully resets.
+            from .parallel.dp import prefill_start_batch_dp
+
+            lb = B // self._dp
+            first = min(B, N)
+            h = self.talker_cfg.hidden_size
             slot_req = [-1] * B
-            slot_caps = np.zeros((B,), np.int32)
-            carry = _empty_carry(
-                self.talker_cfg, B, self.max_frames, cache_len, self.dtype,
-                self.kv_quant, self.mesh, self.dp_mesh, self._dp,
+            for i in range(first):
+                slot_req[(i % self._dp) * lb + i // self._dp] = i
+
+            def row(s, real, pad_val):
+                return real(items[slot_req[s]]) if slot_req[s] >= 0 else pad_val
+
+            pe = jnp.stack([
+                row(s, lambda it: pad_prompt(it)[0],
+                    jnp.zeros((p_bucket, h), self.dtype))
+                for s in range(B)
+            ])
+            pl = jnp.asarray(
+                [row(s, lambda it: it.prefill_embeds.shape[1], 1)
+                 for s in range(B)], jnp.int32,
             )
-            next_req = 0
+            trailing_all = jnp.stack([
+                row(s, pad_trail, jnp.zeros((t_bucket, h), self.dtype))
+                for s in range(B)
+            ])
+            trail_lens = np.asarray(
+                [row(s, lambda it: it.trailing.shape[0], 0) for s in range(B)],
+                np.int32,
+            )
+            slot_caps = np.asarray(
+                [caps[slot_req[s]] if slot_req[s] >= 0 else 0 for s in range(B)],
+                np.int32,
+            )
+            carry = prefill_start_batch_dp(
+                self.talker_params,
+                self.cp_params,
+                mesh=self.dp_mesh,
+                **common,
+                prefill_embeds=pe,
+                prefill_lens=pl,
+                trailing_embeds=trailing_all,
+                trailing_lens=jnp.asarray(trail_lens),
+                tts_pad_embed=self.tts_pad,
+                cache=tk.make_cache(
+                    self.talker_cfg, B, cache_len, self.dtype,
+                    quantized=self.kv_quant,
+                ),
+                max_frames=self.max_frames,
+                key=jax.random.PRNGKey(items[0].seed),
+            )
+            next_req = first
         else:
             # ---- initial fill: batched prefill of the first B requests ----
             trailing_all = jnp.stack([pad_trail(items[i]) for i in range(B)])
@@ -274,40 +352,42 @@ class ContinuousBatcher:
                     harvested[r] = True
                     slot_req[s] = -1
 
-            # admit queued requests into freed slots
-            for s in range(B):
-                if slot_req[s] == -1 and next_req < N:
-                    r = next_req
-                    next_req += 1
-                    it = items[r]
-                    with self._scope():
-                        carry, trailing_all = self._admit(
-                            self.talker_params,
-                            self.cp_params,
-                            carry,
-                            trailing_all,
-                            **common,
-                            slot=jnp.int32(s),
-                            prefill_embeds=pad_prompt(it),
-                            prefill_len=jnp.int32(it.prefill_embeds.shape[1]),
-                            trailing_row=pad_trail(it),
-                            trailing_len=jnp.int32(it.trailing.shape[0]),
-                            tts_pad_embed=self.tts_pad,
-                            key=jax.random.PRNGKey(it.seed),
-                        )
-                    slot_req[s] = r
-                    slot_caps[s] = caps[r]
-                    trail_lens[s] = it.trailing.shape[0]
-                    start_iter[r] = step_now
-                    # the admit may itself hit EOS on the very first frame
-                    if bool(np.asarray(carry.done)[s]):
-                        codes_np = np.asarray(carry.codes)
-                        fr = int(np.asarray(carry.frames)[s])
-                        outputs[r] = BatchOutput(
-                            codes=codes_np[s, :fr].copy(), n_frames=fr
-                        )
-                        harvested[r] = True
-                        slot_req[s] = -1
+            # admit queued requests into freed slots (dp: least-loaded shard)
+            while next_req < N:
+                s = _pick_free_slot([slot_req[i] >= 0 for i in range(B)], self._dp)
+                if s is None:
+                    break
+                r = next_req
+                next_req += 1
+                it = items[r]
+                with self._scope():
+                    carry, trailing_all = self._admit(
+                        self.talker_params,
+                        self.cp_params,
+                        carry,
+                        trailing_all,
+                        **common,
+                        slot=jnp.int32(s),
+                        prefill_embeds=pad_prompt(it),
+                        prefill_len=jnp.int32(it.prefill_embeds.shape[1]),
+                        trailing_row=pad_trail(it),
+                        trailing_len=jnp.int32(it.trailing.shape[0]),
+                        tts_pad_embed=self.tts_pad,
+                        key=jax.random.PRNGKey(it.seed),
+                    )
+                slot_req[s] = r
+                slot_caps[s] = caps[r]
+                trail_lens[s] = it.trailing.shape[0]
+                start_iter[r] = step_now
+                # the admit may itself hit EOS on the very first frame
+                if bool(np.asarray(carry.done)[s]):
+                    codes_np = np.asarray(carry.codes)
+                    fr = int(np.asarray(carry.frames)[s])
+                    outputs[r] = BatchOutput(
+                        codes=codes_np[s, :fr].copy(), n_frames=fr
+                    )
+                    harvested[r] = True
+                    slot_req[s] = -1
 
             if all(slot_req[s] == -1 for s in range(B)) and next_req >= N:
                 break
@@ -326,7 +406,9 @@ class ContinuousBatcher:
                     trailing_lens=jnp.asarray(trail_lens),
                     tts_pad_embed=self.tts_pad,
                     max_steps=jnp.asarray(max_steps),
-                    until_step=jnp.int32(step_now + self.chunk_frames),
+                    until_step=_until_step(
+                        carry, step_now, self.chunk_frames, self._dp
+                    ),
                 )
 
         return [o if o is not None else BatchOutput(np.zeros((0, 16), np.int32), 0)
@@ -525,7 +607,9 @@ class Qwen3TTSServer:
             # futures via _worker's failure path (leftovers are re-queued)
             self._draining = pending
             while self._draining:
-                s = next((i for i in range(B) if slot_fut[i] is None), None)
+                s = _pick_free_slot(
+                    [f is not None for f in slot_fut], self._dp
+                )
                 if s is None:
                     break  # no free slot: everything left is overflow
                 item, fut = self._draining.pop(0)
@@ -578,7 +662,9 @@ class Qwen3TTSServer:
                     trailing_lens=jnp.asarray(trail_lens),
                     tts_pad_embed=self.tts_pad,
                     max_steps=jnp.asarray(max_steps),
-                    until_step=jnp.int32(step_now + self.chunk_frames),
+                    until_step=_until_step(
+                        carry, step_now, self.chunk_frames, self._dp
+                    ),
                 )
             self.total_iterations = self._step(carry)
 

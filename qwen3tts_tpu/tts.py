@@ -1084,20 +1084,7 @@ class Qwen3TTSModel:
         if B == 0:
             return []
         if dp_mesh is not None:
-            from .parallel.dp import dp_size
-
-            if self.mesh is not None:
-                raise Qwen3TTSError(
-                    "generate_batch(dp_mesh=) needs a model loaded without "
-                    "mesh= (dp replicates the single-chip configuration; it "
-                    "does not compose with a TP-sharded model)"
-                )
-            dp = dp_size(dp_mesh)
-            if B % dp != 0:
-                raise Qwen3TTSError(
-                    f"generate_batch: batch {B} not divisible by the dp mesh "
-                    f"size {dp} (pad the request list or shrink the mesh)"
-                )
+            self._validate_dp(dp_mesh, B, "generate_batch", "batch")
         speakers = speakers if speakers is not None else [None] * B
         instructs = instructs if instructs is not None else [None] * B
         if len(speakers) != B or len(instructs) != B:
@@ -1176,6 +1163,31 @@ class Qwen3TTSModel:
             [codes_np[b] for b in range(B)], np.maximum(n_frames, 1)
         )
         return [a if n_frames[b] else a[:0] for b, a in enumerate(audio)]
+
+    def _validate_dp(self, dp_mesh, divisible: int, api: str,
+                     what: str = "slots") -> None:
+        """Typed, EAGER validation for every dp_mesh surface: wraps
+        parallel.dp's ValueErrors in Qwen3TTSError and checks the
+        batch/slot decomposition at the call site (the server is built
+        lazily — without this, misconfiguration would surface as a runtime
+        fault inside a worker thread on the first live request)."""
+        from .parallel.dp import dp_size
+
+        if self.mesh is not None:
+            raise Qwen3TTSError(
+                f"{api}(dp_mesh=) needs a model loaded without mesh= "
+                "(dp replicates the single-chip configuration; it does not "
+                "compose with a TP-sharded model)"
+            )
+        try:
+            dp = dp_size(dp_mesh)
+        except ValueError as ex:
+            raise Qwen3TTSError(str(ex)) from None
+        if divisible % dp != 0:
+            raise Qwen3TTSError(
+                f"{api}: {what} {divisible} not divisible by the dp mesh "
+                f"size {dp} (pad the request list or resize)"
+            )
 
     def _route_stream_inputs(self, text, speaker, instruct, language):
         """Mode routing + validation for streaming (mirrors generate())."""
@@ -1344,6 +1356,8 @@ class Qwen3TTSModel:
                 f"({len(speakers)}) and instructs ({len(instructs)}) must "
                 "have equal lengths"
             )
+        if dp_mesh is not None:
+            self._validate_dp(dp_mesh, slots, "generate_batch_continuous")
         built = self._build_batch_inputs(texts, speakers, instructs, language)
         caps = [self._effective_max_tokens(t, max_tokens) for t in texts]
         items = [
@@ -1408,11 +1422,8 @@ class Qwen3TTSModel:
         slots/dp cache slots (parallel/dp.py); throughput scales with the
         device count. Requires slots divisible by the dp size and a model
         loaded without ``mesh=``."""
-        if dp_mesh is not None and self.mesh is not None:
-            raise Qwen3TTSError(
-                "serve(dp_mesh=) needs a model loaded without mesh= "
-                "(dp replicates the single-chip configuration)"
-            )
+        if dp_mesh is not None:
+            self._validate_dp(dp_mesh, slots, "serve")
         return TTSService(
             self,
             slots=slots,
