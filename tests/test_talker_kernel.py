@@ -262,7 +262,13 @@ def test_sample_mode_respects_suppress_and_seed(setup):
 
 @pytest.mark.parametrize("B,offsets", [(4, [37, 90, 5, 64]),
                                        (6, [37, 90, 5, 64, 1, 113]),
-                                       (8, [37, 90, 5, 64, 1, 128, 90, 33])])
+                                       (8, [37, 90, 5, 64, 1, 128, 90, 33]),
+                                       # B=16 -> SG=8, TWO groups: covers the
+                                       # multi-group plane indexing/masking
+                                       # that single-group B<=8 cannot (the
+                                       # serving B=32 config runs 4 groups)
+                                       (16, [37, 90, 5, 64, 1, 128, 90, 33,
+                                             2, 77, 130, 11, 56, 99, 3, 120])])
 def test_batched_wide_attention_parity(setup, monkeypatch, B, offsets):
     """Grouped-wide attention (B>=4 auto-selects it): kernel step with
     per-sequence offsets == XLA forward_batched_step, and == the narrow
@@ -528,12 +534,17 @@ def test_int8_kv_cache_parity_and_quality(setup):
     assert d < 0.1, f"appended k rows: scaled {d:.4f}"
 
 
-@pytest.mark.parametrize("B,offs_list", [(2, [37, 90]), (4, [37, 90, 5, 64])])
+@pytest.mark.parametrize("B,offs_list", [
+    (2, [37, 90]),
+    (4, [37, 90, 5, 64]),
+    # SG=8, two groups: multi-group wide planes WITH per-row scale folding
+    (16, [37, 90, 5, 64, 1, 88, 90, 33, 2, 77, 85, 11, 56, 89, 3, 70]),
+])
 def test_int8_kv_batched_step_parity(setup, B, offs_list):
     """Int8-KV kernel step with per-sequence offsets == XLA
     forward_batched_step on the same quantized cache (B=2 narrow form,
-    B=4 grouped-wide with the per-row scales folded into the wide
-    score/prob planes)."""
+    B>=4 grouped-wide with the per-row scales folded into the wide
+    score/prob planes; B=16 covers multi-group)."""
     cfg, params = setup
     H = cfg.hidden_size
     cache = tk.make_cache(cfg, B, 256, quantized=True)
