@@ -282,9 +282,16 @@ class ContinuousBatcher:
                 trailing_embeds=trailing_all,
                 trailing_lens=jnp.asarray(trail_lens),
                 tts_pad_embed=self.tts_pad,
-                cache=tk.make_cache(
-                    self.talker_cfg, B, cache_len, self.dtype,
-                    quantized=self.kv_quant,
+                # materialize the big [L, slots, ...] cache sharded — it
+                # must never sit whole on one device at serving slot counts
+                cache=jax.device_put(
+                    tk.make_cache(
+                        self.talker_cfg, B, cache_len, self.dtype,
+                        quantized=self.kv_quant,
+                    ),
+                    jax.sharding.NamedSharding(
+                        self.dp_mesh, jax.sharding.PartitionSpec(None, "dp")
+                    ),
                 ),
                 max_frames=self.max_frames,
                 key=jax.random.PRNGKey(items[0].seed),
