@@ -305,9 +305,10 @@ def main() -> None:
 
     # Batched serving throughput (no reference counterpart — the batch-1
     # reference cannot express it): B=32 lockstep, 66 frames/seq, int8
-    # megakernels with grouped-wide batched attention. Driver-reproducible
-    # source of the README/COMPONENTS tok/s number (tools/bench_batch.py is
-    # the parameterized version).
+    # megakernels with narrow batched attention (hardware-measured faster
+    # than the grouped-wide form at every batch size, 2026-08-18 A/B).
+    # Driver-reproducible source of the README/COMPONENTS tok/s number
+    # (tools/bench_batch.py is the parameterized version).
     if "batch" in wanted and not (QUANT == "int8" and MODEL == "0b6"):
         log("scenario batch skipped: needs the int8 0.6B config "
             f"(QUANT={QUANT or 'bf16'}, MODEL={MODEL})")
@@ -338,20 +339,8 @@ def main() -> None:
                     max_frames=FRAMES, key=jax.random.PRNGKey(seed),
                 )
 
-            wide_fallback = False
-            try:
-                rB = run_batch(0)
-                jax.block_until_ready(rB.codes)  # compile+warm
-            except Exception as ex:
-                # the grouped-wide attention form is the only B>=4-specific
-                # kernel path; if it fails on this chip, retry narrow so the
-                # driver still gets a throughput number
-                log(f"batch warmup failed ({ex!r}); retrying narrow attention")
-                os.environ["QWEN3TTS_TK_WIDE_SG"] = "-1"
-                jax.clear_caches()
-                wide_fallback = True
-                rB = run_batch(0)
-                jax.block_until_ready(rB.codes)
+            rB = run_batch(0)
+            jax.block_until_ready(rB.codes)  # compile+warm
             t0 = time.time()
             rB = run_batch(1)
             jax.block_until_ready(rB.codes)
@@ -361,8 +350,6 @@ def main() -> None:
                 "frame_ms": round(bt / FRAMES * 1000, 2),
                 "per_seq_rtf": round(bt / (FRAMES / CODEC_RATE), 4),
             }
-            if wide_fallback:
-                scenarios[f"batch{BB}_int8"]["wide_fallback"] = True
             log(f"scenario batch: {json.dumps(scenarios[f'batch{BB}_int8'])}")
         except Exception as ex:  # pragma: no cover
             log(f"scenario batch failed: {ex!r}")

@@ -18,10 +18,13 @@ streams only the VALID cache prefix through a double-buffered block
 pipeline with flash-style online softmax (the XLA path reads the full
 T_max rows every step), and the current token's k/v join the softmax as
 a final virtual block. Two score/value formulations: the narrow
-[B*NKV]-batched form (B < 4), and a grouped-wide form (B >= 4) that
-trades SG*NKV x wasted FLOPs for 128-row MXU tile-load amortization —
-the narrow form is tile-load bound at batch (measured 2.13 ms/frame per
-extra streamed KV block at B=32, tools/exp_attn_cost.py). The new k/v
+[B*NKV]-batched form (the default at every batch size), and an opt-in
+grouped-wide form (``QWEN3TTS_TK_WIDE_SG``) that trades SG*NKV x wasted
+FLOPs for 128-row MXU tile-load amortization. The tile-load cost model
+(tools/exp_attn_cost.py: 2.13 ms/frame per extra streamed KV block at
+B=32) predicted wide would win at batch; the 2026-08-18 hardware A/B
+measured narrow FASTER at B=8/16/32 for every SG in {1,2,4,8} — see
+``_pick_wide_sg`` for the numbers. The new k/v
 rows are returned stacked [L, Hkv, D] so the caller appends them with
 ONE dynamic_update_slice per cache (the round-1 finding stands:
 single-row VMEM->HBM bf16 DMAs violate Mosaic sublane tiling).
@@ -496,12 +499,22 @@ def _pick_wide_sg(B: int) -> int:
     """Sequences per grouped-wide attention group (0 = narrow form).
 
     The wide form amortizes MXU weight-tile loads over SG*NQ query rows
-    at SG*NKV x wasted FLOPs + an SG^2-inflated score matrix on the VPU;
-    it wins when the narrow form's per-(seq, kv-head) sub-matmuls are
-    tile-load bound (B >= 4; measured ~2.1 ms/frame per streamed KV
-    block at B=32, tools/exp_attn_cost.py / exp_attn_forms.py). SG = 8
-    puts a full 128-row tile of query rows in front of every key tile.
-    ``QWEN3TTS_TK_WIDE_SG`` overrides for A/B (-1 forces narrow).
+    at SG*NKV x wasted FLOPs + an SG-inflated score matrix on the VPU.
+    The tile-load cost model (tools/exp_attn_cost.py) predicted it would
+    win at batch, but the hardware A/B says NARROW wins at every batch
+    size — v5e, 0.6B int8, 128-slot cache, ms/frame for the whole step
+    kernel (tools/microbench_batch.py, 2026-08-18):
+
+        B=8:  narrow 1.703   wide SG=8 1.885
+        B=16: narrow 2.181   wide SG=8 2.310
+        B=32: narrow 3.144   SG=1 3.330, SG=2 3.183, SG=4 3.208,
+                             SG=8 3.410
+
+    The wasted-FLOP score plane + f32 K/V casts scale with SG*NKV*block_t
+    and eat the tile-load savings at these shapes, so the default is
+    narrow everywhere; the wide form stays as a parity-tested opt-in
+    (``QWEN3TTS_TK_WIDE_SG=<sg>``; -1 forces narrow) for future shapes
+    where the KV stream dominates.
     """
     import os
 
@@ -509,10 +522,6 @@ def _pick_wide_sg(B: int) -> int:
     if env is not None:
         v = int(env)
         return 0 if v < 0 else (v if v and B % v == 0 else 0)
-    if B >= 4:
-        for sg in (8, 7, 6, 5, 4):  # largest group <= 8 that tiles B
-            if B % sg == 0:
-                return sg
     return 0
 
 
@@ -541,9 +550,10 @@ def _pick_lps(L: int, B: int, s: dict, layout: str, block_t: int,
     if env is not None:
         v = max(1, int(env))
         return v if L % v == 0 and fits(v) else 1
-    # default stays 1 until lps=2 is hardware-validated (interpret-mode
-    # parity is green; the win hypothesis — fewer weight-stream pipeline
-    # boundaries — is unmeasured on the chip)
+    # hardware A/B (v5e, 0.6B int8, B=1, 2026-08-18): lps=2 measured
+    # 1.373 ms/frame vs 1.289 at lps=1 — the coarser weight-DMA blocking
+    # LOSES ~6%; pipeline boundaries were not the weight-stream bound.
+    # Default stays 1; the knob remains for future shapes.
     return 1
 
 
