@@ -139,10 +139,24 @@ def _next_input_batch(
     """Per-sequence next input: trailing[b, steps[b]] (or pad) + codec-embed
     sum. ``steps`` is [B] — sequences admitted at different times (continuous
     batching) read their own trailing position. ``codec_sum`` short-circuits
-    the embedding gathers when the fused CP kernel already summed them."""
+    the embedding gathers when the fused CP kernel already summed them.
+
+    The per-row trailing select is a one-hot matmul, not take_along_axis:
+    an XLA gather along a non-minor axis of [B, T_trail, h] lowered to a
+    serial row loop — measured 0.55 ms/frame at B=32 (~10% of the frame,
+    tools/microbench_batch.py `next`, 2026-08-18); the [B, 1, T] x
+    [B, T, h] batched matmul is one MXU op."""
     steps = jnp.broadcast_to(steps, code0.shape)
     idx = jnp.minimum(steps, trailing.shape[1] - 1)  # [B]
-    text_rows = jnp.take_along_axis(trailing, idx[:, None, None], axis=1)[:, 0]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], trailing.shape[1]), 1)
+        == idx[:, None]
+    ).astype(trailing.dtype)  # [B, T_trail]
+    text_rows = jax.lax.dot_general(
+        onehot[:, None, :], trailing,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )[:, 0].astype(trailing.dtype)  # [B, h]
     text = jnp.where((steps < trailing_lens)[:, None], text_rows, tts_pad[None])
     if codec_sum is None:
         codec = cp.sum_codec_embeddings(cp_params, talker_params, code0, rest)

@@ -546,24 +546,45 @@ def forward_step_sample(
 
 def _scatter_append_batched(cache, cfg: TalkerConfig, k_new, v_new, offsets):
     """Append each sequence's new k/v row ([L, B, Hkv, D]) at its own cache
-    offset (per-sequence scatter; quantizes rows first for int8 caches)."""
+    offset (quantizes rows first for int8 caches).
+
+    Implemented as a chain of per-sequence ``dynamic_update_slice`` ops
+    rather than one gather-scatter: XLA provably aliases a DUS chain in
+    place inside the decode ``while_loop``, whereas the batched
+    ``.at[ll, bb, hh, off_b].set()`` scatter materialized a full cache
+    copy every frame — measured 1.03 ms/frame at B=32 on a
+    [28, 32, 8, 256, 128] bf16 cache (~19% of the whole frame,
+    tools/microbench_batch.py `scatter`, 2026-08-18)."""
     B = k_new.shape[1]
-    bb = jnp.arange(B)[None, :, None]
-    ll = jnp.arange(cfg.num_hidden_layers)[:, None, None]
-    hh = jnp.arange(cfg.num_key_value_heads)[None, None, :]
-    off_b = offsets[None, :, None]
+
+    def dus_chain(buf, rows):
+        """rows [L, B, Hkv, D] into buf [L, B, Hkv, T, D] at (b, offsets[b])."""
+        for b in range(B):
+            buf = jax.lax.dynamic_update_slice(
+                buf, rows[:, b : b + 1, :, None], (0, b, 0, offsets[b], 0)
+            )
+        return buf
+
+    def dus_chain_scales(buf, rows):
+        """rows [L, B, Hkv] into buf [L, B, Hkv, T] at (b, offsets[b])."""
+        for b in range(B):
+            buf = jax.lax.dynamic_update_slice(
+                buf, rows[:, b : b + 1, :, None], (0, b, 0, offsets[b])
+            )
+        return buf
+
     if cache.quantized:
         kq, ksc = quantize_kv_rows(k_new)  # [L, B, Hkv, D] -> + [L, B, Hkv]
         vq, vsc = quantize_kv_rows(v_new)
         return KVCacheQ(
-            cache.k.at[ll, bb, hh, off_b, :].set(kq),
-            cache.v.at[ll, bb, hh, off_b, :].set(vq),
-            cache.ks.at[ll, bb, hh, off_b].set(ksc),
-            cache.vs.at[ll, bb, hh, off_b].set(vsc),
+            dus_chain(cache.k, kq),
+            dus_chain(cache.v, vq),
+            dus_chain_scales(cache.ks, ksc),
+            dus_chain_scales(cache.vs, vsc),
         )
     return KVCache(
-        cache.k.at[ll, bb, hh, off_b, :].set(k_new),
-        cache.v.at[ll, bb, hh, off_b, :].set(v_new),
+        dus_chain(cache.k, k_new),
+        dus_chain(cache.v, v_new),
     )
 
 
@@ -664,8 +685,6 @@ def forward_batched_step(
     scale = cfg.head_dim**-0.5
     nq, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
-    b_idx = jnp.arange(B)[:, None]
-    h_idx = jnp.arange(nkv)[None, :]
 
     quantized = cache.quantized
 
@@ -676,15 +695,32 @@ def forward_batched_step(
         q, k, v = _project_qkv(p, x, B, S, nq, nkv, hd, eps)
         q, k = apply_rotary(q, k, cos, sin)
 
-        # per-sequence scatter append: k_all[idx, b, :, offsets[b], :] = k
+        # per-sequence append: k_all[idx, b, :, offsets[b], :] = k — a DUS
+        # chain over b (in-place under the scan carry), not a gather-scatter
+        # (same finding as _scatter_append_batched: the batched scatter
+        # copies the whole cache every step)
+        def dus_b(buf, rows):  # rows [B, nkv, D] -> buf [L, B, nkv, T, D]
+            for b in range(B):
+                buf = jax.lax.dynamic_update_slice(
+                    buf, rows[None, b : b + 1, :, None], (idx, b, 0, offsets[b], 0)
+                )
+            return buf
+
+        def dus_b_scales(buf, rows):  # rows [B, nkv] -> buf [L, B, nkv, T]
+            for b in range(B):
+                buf = jax.lax.dynamic_update_slice(
+                    buf, rows[None, b : b + 1, :, None], (idx, b, 0, offsets[b])
+                )
+            return buf
+
         if quantized:
             k_all, v_all, ks_all, vs_all = cc
             kq, ksc = quantize_kv_rows(k[:, :, 0, :])  # [B, nkv, D] -> + [B, nkv]
             vq, vsc = quantize_kv_rows(v[:, :, 0, :])
-            k_all = k_all.at[idx, b_idx, h_idx, offsets[:, None], :].set(kq)
-            v_all = v_all.at[idx, b_idx, h_idx, offsets[:, None], :].set(vq)
-            ks_all = ks_all.at[idx, b_idx, h_idx, offsets[:, None]].set(ksc)
-            vs_all = vs_all.at[idx, b_idx, h_idx, offsets[:, None]].set(vsc)
+            k_all = dus_b(k_all, kq)
+            v_all = dus_b(v_all, vq)
+            ks_all = dus_b_scales(ks_all, ksc)
+            vs_all = dus_b_scales(vs_all, vsc)
             k_cache = dequantize_kv(
                 jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False),
                 jax.lax.dynamic_index_in_dim(ks_all, idx, 0, keepdims=False),
@@ -696,8 +732,8 @@ def forward_batched_step(
             cc = (k_all, v_all, ks_all, vs_all)
         else:
             k_all, v_all = cc
-            k_all = k_all.at[idx, b_idx, h_idx, offsets[:, None], :].set(k[:, :, 0, :])
-            v_all = v_all.at[idx, b_idx, h_idx, offsets[:, None], :].set(v[:, :, 0, :])
+            k_all = dus_b(k_all, k[:, :, 0, :])
+            v_all = dus_b(v_all, v[:, :, 0, :])
             k_cache = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
             v_cache = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
             cc = (k_all, v_all)

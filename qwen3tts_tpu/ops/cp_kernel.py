@@ -92,6 +92,10 @@ def _cp_kernel(
     eps: float,
     fused: bool,  # layers carry qkv_proj/gate_up_proj instead of q/k/v, g/u
     want_logits: bool,  # False: logits_ref is a tiny dummy, writes skipped
+    ablate: str | None,  # perf diagnosis only (tools/exp_cpk_ablate.py):
+    #   "noattn" (skip attention), "nokvwrite" (skip cache writes),
+    #   "nomlp" (skip gate_up/down), "nosample" (constant codes).
+    #   Production always passes None; outputs are WRONG under ablation.
     # positional refs — layout depends on ``fused``; see unpacking below
     *refs,
 ):
@@ -251,12 +255,26 @@ def _cp_kernel(
             # append k AND v at slot p with ONE masked full-buffer update
             # (Mosaic rejects bf16 dynamic-sublane stores); combined rows:
             # [0, KVROWS) hold K at (b*NKV+h)*SLOTS+t, [KVROWS, 2K) hold V
-            kv_b = jnp.broadcast_to(
-                jnp.concatenate([k, v], axis=0)[:, None, :],
-                (2 * B * NKV, SLOTS, D),
-            ).reshape(KV2, D)
-            kvf_ref[l] = jnp.where(sel, kv_b, kvf_ref[l])
+            if ablate != "nokvwrite":
+                kv_b = jnp.broadcast_to(
+                    jnp.concatenate([k, v], axis=0)[:, None, :],
+                    (2 * B * NKV, SLOTS, D),
+                ).reshape(KV2, D)
+                kvf_ref[l] = jnp.where(sel, kv_b, kvf_ref[l])
 
+            if ablate == "noattn":
+                h = h + mv(q.reshape(B, NQ * D), wo_ref, l, so_ref)
+                xn = rms(h, pln_ref[l])
+                if ablate != "nomlp":
+                    if fused:
+                        gu = mv(xn, wgu_ref, l, sgu_ref).astype(jnp.float32)
+                        gate, up = gu[:, :I], gu[:, I:]
+                    else:
+                        gate = mv(xn, wg_ref, l, sg_ref).astype(jnp.float32)
+                        up = mv(xn, wu_ref, l, su_ref).astype(jnp.float32)
+                    gated = (gate * jax.nn.sigmoid(gate) * up).astype(jnp.bfloat16)
+                    h = h + mv(gated, wd_ref, l, sd_ref)
+                continue
             # all-heads GQA over the 16-slot caches, one sequence-group at a
             # time (two MXU ops per group): score row b*NQ+qh, col (b', h, t)
             # valid iff b' == b and h == qh // (NQ/NKV) and t <= p (mask
@@ -287,6 +305,8 @@ def _cp_kernel(
             )
 
             h = h + mv(attn.reshape(B, NQ * D), wo_ref, l, so_ref)
+            if ablate == "nomlp":
+                continue
             xn = rms(h, pln_ref[l])
             if fused:
                 gu = mv(xn, wgu_ref, l, sgu_ref).astype(jnp.float32)
@@ -302,6 +322,8 @@ def _cp_kernel(
 
     def sample(hp, h):
         """Head hp logits + sample. Returns code [1,1] i32 (writes logits)."""
+        if ablate == "nosample":
+            return jnp.full((B, 1), 1, jnp.int32) + h[:, :1].astype(jnp.int32) * 0
         hn = rms(h, fn_ref[...])
         hslot = jax.lax.rem(hp, 3)
         pltpu.make_async_copy(lmh_hbm.at[hp], hbuf_ref.at[hslot], hsem.at[hslot]).wait()
@@ -465,7 +487,7 @@ def kernel_supported(cp_params, cp_cfg, talker_h: int) -> bool:
     jax.jit,
     static_argnames=(
         "cp_cfg", "talker_h", "temperature", "top_k", "mode", "interpret",
-        "want_logits",
+        "want_logits", "ablate",
     ),
 )
 def _call(
@@ -480,6 +502,7 @@ def _call(
     mode: str,
     interpret: bool,
     want_logits: bool = False,
+    ablate: str | None = None,
 ):
     B = x0.shape[0]
     s = _shapes(cp_cfg, talker_h, batch=B)
@@ -502,7 +525,7 @@ def _call(
     fused = "qkv_proj" in layers
     kernel = functools.partial(
         _cp_kernel, s, mode, float(temperature), int(top_k),
-        float(cp_cfg.rms_norm_eps), fused, want_logits,
+        float(cp_cfg.rms_norm_eps), fused, want_logits, ablate,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -585,6 +608,7 @@ def predict_codes_fused(
     mode: str = "dyn_int8",
     interpret: bool = False,
     return_logits: bool = False,
+    ablate: str | None = None,  # perf-diagnosis only; outputs WRONG if set
 ):
     """Drop-in fused replacement for cp.predict_codes (top_p==1, any B).
 
@@ -623,6 +647,7 @@ def predict_codes_fused(
         mode=mode,
         interpret=interpret,
         want_logits=bool(return_logits),
+        ablate=ablate,
     )
     out = codes[:, : s["NCB"]]
     if return_logits:

@@ -4,14 +4,16 @@ Mirrors tools/bench_batch.py's configuration and splits one lockstep frame
 into its serial components, each as its own fused 66-iteration device loop
 (same methodology as tools/microbench.py for B=1):
 
-  talker  — forward_batched_step (the talker megakernel at batch B)
-  headsmp — codec head + code0 sampler + seen update (the XLA variant;
-            production uses the in-kernel row-parallel sampler at any B —
-            measured perf-neutral vs this glue at B=32)
-  cpk     — predict_codes_fused at batch B (the CP megakernel)
-  next    — _next_input_batch glue
+  talker   — forward_batched_step (the talker megakernel at batch B)
+  talker_s — forward_batched_step_sample: the PRODUCTION talker path
+             (kernel + in-kernel sampler + per-sequence scatter append)
+  scatter  — _scatter_append_batched alone (per-sequence KV scatter into
+             the [L, B, Hkv, T, D] cache; XLA scatter in a loop carry)
+  headsmp  — codec head + code0 sampler + seen update (the XLA variant)
+  cpk      — predict_codes_fused at batch B (the CP megakernel)
+  next     — _next_input_batch glue
 
-Usage: python tools/microbench_batch.py [B] [talker headsmp cpk next]
+Usage: python tools/microbench_batch.py [B] [talker talker_s scatter headsmp cpk next]
 """
 
 from __future__ import annotations
@@ -46,7 +48,7 @@ def main():
     args = sys.argv[1:]
     B = int(args[0]) if args and args[0].isdigit() else 32
     which = set(a for a in args if not a.isdigit()) or {
-        "talker", "headsmp", "cpk", "next"
+        "talker", "talker_s", "scatter", "headsmp", "cpk", "next"
     }
     cfg = _flagship_06b()
     cpc = cfg.code_predictor_config
@@ -88,21 +90,75 @@ def main():
         )
         return dt
 
+    # NOTE (2026-08-18): every loop-varying carry below is initialized
+    # from a jit ARGUMENT, never a closure/trace-time constant — a
+    # constant-initialized offsets vector feeding dynamic_update_slice
+    # starts degrades the whole chain to a full-buffer copy per iteration
+    # (~0.65 ms/frame artifact; tools/exp_dus_cost3.py / /tmp lore).
     if "talker" in which:
         @jax.jit
-        def talker_loop(params, cache):
+        def talker_loop(params, cache, offs0):
             x0 = jnp.zeros((B, 1, h), jnp.bfloat16)
 
             def body(i, carry):
-                x, cache = carry
-                hid, cache = tk.forward_batched_step(params, cfg, x, cache, offsets)
-                return hid.astype(jnp.bfloat16), cache
+                x, cache, offs = carry
+                hid, cache = tk.forward_batched_step(params, cfg, x, cache, offs)
+                return hid.astype(jnp.bfloat16), cache, offs + 1
 
-            x, _ = jax.lax.fori_loop(0, FRAMES, body, (x0, cache))
+            x, _, _ = jax.lax.fori_loop(0, FRAMES, body, (x0, cache, offs0))
             return x
 
         cache = tk.make_cache(cfg, B, cache_len, jnp.bfloat16)
-        timeit("talker step", talker_loop, tp, cache)
+        timeit("talker step", talker_loop, tp, cache, offsets)
+
+    if "talker_s" in which:
+        suppress_add = jnp.where(suppress, jnp.float32(-1e30), jnp.float32(0.0))
+
+        @jax.jit
+        def talker_s_loop(params, cache, offs0):
+            x0 = jnp.zeros((B, 1, h), jnp.bfloat16)
+            seen = jnp.zeros((B, cfg.vocab_size), bool)
+            seed = jnp.array([7, 11], jnp.int32)
+
+            def body(i, carry):
+                x, cache, offs = carry
+                hid, cache, code0 = tk.forward_batched_step_sample(
+                    params, cfg, x, cache, offs,
+                    seen=seen, suppress_add=suppress_add, seed=seed,
+                    temperature=0.9, top_k=50, repetition_penalty=1.05,
+                    eos_token_id=None,
+                )
+                return (
+                    (hid + code0[:, None, None]).astype(jnp.bfloat16),
+                    cache, offs + 1,
+                )
+
+            x, cache, _ = jax.lax.fori_loop(0, FRAMES, body, (x0, cache, offs0))
+            return x
+
+        cache = tk.make_cache(cfg, B, cache_len, jnp.bfloat16)
+        timeit("talker step+sample+scatter (production)", talker_s_loop, tp, cache,
+               offsets)
+
+    if "scatter" in which:
+        @jax.jit
+        def scatter_loop(cache, k_new, v_new, offs0):
+            def body(i, carry):
+                cache, offs = carry
+                cache = tk._scatter_append_batched(cache, cfg, k_new, v_new, offs)
+                return cache, offs + 1
+
+            cache, _ = jax.lax.fori_loop(0, FRAMES, body, (cache, offs0))
+            # read BOTH buffers so neither update chain is dead code
+            return cache.k[0, 0, 0, 0, 0] + cache.v[0, 0, 0, 0, 0]
+
+        cache = tk.make_cache(cfg, B, cache_len, jnp.bfloat16)
+        kv_shape = (cfg.num_hidden_layers, B, cfg.num_key_value_heads, cfg.head_dim)
+        timeit(
+            "kv scatter append", scatter_loop, cache,
+            jnp.ones(kv_shape, jnp.bfloat16), jnp.ones(kv_shape, jnp.bfloat16),
+            offsets,
+        )
 
     if "headsmp" in which:
         @jax.jit
@@ -130,7 +186,7 @@ def main():
         from qwen3tts_tpu.ops.cp_kernel import predict_codes_fused
 
         @jax.jit
-        def cpk_loop(cpp, tpp, hidden, key):
+        def cpk_loop(cpp, tpp, hidden, key, c0):
             def body(i, carry):
                 code0, key, acc = carry
                 key, kk = jax.random.split(key)
@@ -140,14 +196,14 @@ def main():
                 )
                 return codes[:, 0] % cfg.vocab_size, key, acc + esum.sum()
 
-            c0 = jnp.zeros((B,), jnp.int32)
             _, _, acc = jax.lax.fori_loop(
                 0, FRAMES, body, (c0, key, jnp.float32(0))
             )
             return acc
 
         hidden = jnp.zeros((B, h), jnp.bfloat16)
-        timeit("cp kernel", cpk_loop, cpp, tp, hidden, jax.random.PRNGKey(4))
+        timeit("cp kernel", cpk_loop, cpp, tp, hidden, jax.random.PRNGKey(4),
+               jnp.zeros((B,), jnp.int32))
 
     if "next" in which:
         trailing = jnp.zeros((B, 16, h), jnp.bfloat16)
@@ -155,22 +211,26 @@ def main():
         tts_pad = jnp.zeros((h,), jnp.bfloat16)
 
         @jax.jit
-        def next_loop(cpp, tpp, code0, rest):
+        def next_loop(cpp, tpp, code0, rest, trailing, trailing_lens, tts_pad,
+                      steps0, csum):
             def body(i, carry):
-                acc, c0 = carry
+                acc, c0, steps = carry
                 x = bg._next_input_batch(
                     cpp, tpp, trailing, trailing_lens, tts_pad,
-                    jnp.full((B,), 3, jnp.int32), c0, rest,
-                    jnp.zeros((B, h), jnp.float32),
+                    steps, c0, rest, csum,
                 )
-                return acc + x.sum().astype(jnp.float32), (c0 + 1) % 100
+                return acc + x.sum().astype(jnp.float32), (c0 + 1) % 100, steps + 1
 
-            acc, _ = jax.lax.fori_loop(0, FRAMES, body, (jnp.float32(0), code0))
+            acc, _, _ = jax.lax.fori_loop(
+                0, FRAMES, body, (jnp.float32(0), code0, steps0)
+            )
             return acc
 
         timeit(
             "next-input glue", next_loop, cpp, tp,
             jnp.zeros((B,), jnp.int32), jnp.zeros((B, 15), jnp.int32),
+            trailing, trailing_lens, tts_pad,
+            jnp.full((B,), 3, jnp.int32), jnp.zeros((B, h), jnp.float32),
         )
 
 
