@@ -1,35 +1,54 @@
-"""Benchmark: 0.6B CustomVoice-shaped synthesis RTF on one TPU chip.
+"""Benchmark: every BASELINE.json workload at its specified model size.
 
-Mirrors the reference's headline benchmark (BASELINE.md): Qwen3-TTS-0.6B
-CustomVoice, short English sentence, temp 0.9 / top-k 50 / rep 1.05; the
-reference paper reports RTF 0.70 (generation_time / audio_duration, lower is
-better) on Apple M-series. Our north star: RTF < 0.1 on one v5e chip.
+Headline (configs[0]): 0.6B CustomVoice-shaped synthesis RTF on one TPU
+chip — mirrors the reference's own benchmark (BASELINE.md): short English
+sentence, temp 0.9 / top-k 50 / rep 1.05; the reference paper reports RTF
+0.70 (generation_time / audio_duration, lower is better) on Apple M-series.
+North star: RTF < 0.1 on one v5e chip.
 
-Runs on synthetic weights at exact 0.6B shapes (no checkpoints in this
-environment — compute cost is identical). Prints ONE JSON line:
-  {"metric": ..., "value": RTF, "unit": "rtf", "vs_baseline": 0.70/RTF}
-(vs_baseline > 1 means faster than the reference). Auxiliary numbers
-(tokens/s, TTFT, vocoder time) go to stderr.
+Scenario coverage (one driver-parsed JSON line carries everything):
+  configs[1]  long_decode_1.7b_512f      1.7B Base, 512 frames, 4096-slot KV
+  configs[2]  voicedesign_12lang_1.7b    1.7B, 12 prompt variants, p50/p95
+  configs[3]  voice_clone_1.7b           encoder+ECAPA prep + 1.7B synthesis
+  configs[4]  int4_serving_0.6b          int4-valued weights on the
+                                         requantized-int8 serving default,
+                                         pruned-vocab token map on the
+                                         prompt path
+  (extension) batch32_int8               B=32 lockstep serving throughput
+
+Budget rule (round-4 fix): NO silent skips — every scenario that doesn't
+run logs a "scenario X skipped: ..." line AND lands in the JSON's
+"skipped" list. Params are initialized ON DEVICE (utils/host_init.py
+device_init_*) — the round-3 bench spent 122 s shipping host arrays
+through the tunnel; the 1.7B block shares one param set across
+long/vd/clone.
+
+Runs on synthetic weights at exact model shapes (no checkpoints in this
+environment — compute cost is identical; forbid_eos pins frame counts).
+Prints ONE JSON line:
+  {"metric": ..., "value": RTF, "unit": "rtf", "vs_baseline": 0.70/RTF, ...}
+(vs_baseline > 1 means faster than the reference). Auxiliary numbers go to
+stderr.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
-import os
-
 from qwen3tts_tpu.config import TokenizerDecoderConfig
-from qwen3tts_tpu.models import code_predictor as cp
 from qwen3tts_tpu.models import generate as gen
 from qwen3tts_tpu.models import talker as tk
 from qwen3tts_tpu.models import vocoder as vc
+from qwen3tts_tpu.ops.quant import quantize_decode_params_int8
 from qwen3tts_tpu.utils import host_init as hi
 from __graft_entry__ import _flagship_06b, _flagship_17b
 
@@ -52,6 +71,42 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def make_decode_params(cfg, cpc, seeds=(0, 1), quant=QUANT, int4_values=False):
+    """Device-initialized talker+CP params in the requested serving format.
+
+    ``int4_values=True`` first round-trips every linear through MLX-style
+    per-group affine int4 (the exact values an int4 checkpoint yields after
+    unpacking), then applies the serving format on top — mirroring
+    from_pretrained's round-4 TPU default for quantized checkpoints.
+    """
+    tp = dict(hi.device_init_talker_params(seeds[0], cfg))
+    cp_p = dict(hi.device_init_cp_params(seeds[1], cpc, cfg.hidden_size))
+    if int4_values:
+        lin = ("q_proj", "k_proj", "v_proj", "o_proj",
+               "gate_proj", "up_proj", "down_proj")
+        for p in (tp, cp_p):
+            p["layers"] = {
+                k: (hi.int4_roundtrip_values(v) if k in lin else v)
+                for k, v in p["layers"].items()
+            }
+        tp["codec_head"] = hi.int4_roundtrip_values(tp["codec_head"])
+        cp_p["lm_head"] = hi.int4_roundtrip_values(cp_p["lm_head"])
+    if quant == "int8":
+        # mirror from_pretrained(quantize='int8'): fuse talker AND CP
+        # projections (both run in the fused Pallas kernels under int8)
+        tp["layers"] = tk.fuse_layer_projections(tp["layers"])
+        tp = quantize_decode_params_int8(tp, "codec_head")
+        if os.environ.get("BENCH_CP_FUSE", "1") == "1":
+            cp_p["layers"] = tk.fuse_layer_projections(cp_p["layers"])
+        cp_p = quantize_decode_params_int8(cp_p, "lm_head")
+    else:
+        # mirror from_pretrained bf16-on-TPU: fuse the talker so the
+        # whole-step kernel (mode='bf16') engages; CP stays unfused
+        tp["layers"] = tk.fuse_layer_projections(tp["layers"])
+    jax.block_until_ready(tp["layers"]["input_layernorm"])
+    return tp, cp_p
+
+
 def main() -> None:
     main_t0 = time.time()
     dev = jax.devices()[0]
@@ -61,35 +116,21 @@ def main() -> None:
     vcfg = TokenizerDecoderConfig()  # full-size defaults (latent 1024, dim 1536)
 
     t0 = time.time()
-    tp_np = hi.host_init_talker_params(0, cfg)
-    cpp_np = hi.host_init_cp_params(1, cpc, cfg.hidden_size)
     if INT4:
-        tp_np = hi.pack_linear_params(tp_np)
-        cpp_np = hi.pack_linear_params(cpp_np)
-        log("int4 packed weights")
-    talker_params = hi.to_device(tp_np, jnp.bfloat16)
-    cp_params = hi.to_device(cpp_np, jnp.bfloat16)
-    if QUANT == "int8":
-        from qwen3tts_tpu.ops.quant import quantize_decode_params_int8
-
-        # mirror from_pretrained(quantize='int8'): fuse talker AND CP
-        # projections (both run in the fused Pallas kernels under int8)
-        talker_params = dict(talker_params)
-        talker_params["layers"] = tk.fuse_layer_projections(talker_params["layers"])
-        talker_params = quantize_decode_params_int8(talker_params, "codec_head")
-        if os.environ.get("BENCH_CP_FUSE", "1") == "1":
-            cp_params = dict(cp_params)
-            cp_params["layers"] = tk.fuse_layer_projections(cp_params["layers"])
-        cp_params = quantize_decode_params_int8(cp_params, "lm_head")
-        log("runtime int8 weight-only quantization (fused projections)")
-    elif not INT4:
-        # mirror from_pretrained bf16-on-TPU: fuse the talker so the
-        # whole-step kernel (mode='bf16') engages; CP stays unfused
-        talker_params = dict(talker_params)
-        talker_params["layers"] = tk.fuse_layer_projections(talker_params["layers"])
-        log("bf16 with fused talker projections (whole-step kernel)")
+        # packed int4 path needs host arrays for MLX-layout packing
+        tp_np = hi.pack_linear_params(hi.host_init_talker_params(0, cfg))
+        cpp_np = hi.pack_linear_params(hi.host_init_cp_params(1, cpc, cfg.hidden_size))
+        talker_params = hi.to_device(tp_np, jnp.bfloat16)
+        cp_params = hi.to_device(cpp_np, jnp.bfloat16)
+        jax.block_until_ready(talker_params["layers"]["input_layernorm"])
+        log("int4 packed weights (host init)")
+    else:
+        talker_params, cp_params = make_decode_params(cfg, cpc)
+        log("runtime int8 weight-only quantization (fused projections)"
+            if QUANT == "int8" else
+            "bf16 with fused talker projections (whole-step kernel)")
     voc_params = vc.init_vocoder_params(jax.random.PRNGKey(2), vcfg, jnp.float32)
-    jax.block_until_ready(talker_params["layers"]["input_layernorm"])
+    jax.block_until_ready(jax.tree.leaves(voc_params)[0])
     log(f"param init: {time.time() - t0:.1f}s")
 
     p_bucket = gen.pad_to_bucket(PREFILL_LEN)
@@ -109,28 +150,32 @@ def main() -> None:
     def make_cache():
         return tk.make_cache(cfg, 1, cache_len, jnp.bfloat16)
 
-    def run_gen(seed):
-        # the production non-streaming path: one fused device program
+    def run_gen(seed, tp=None, cpp=None, pf=None):
+        # the production non-streaming decode as one fused device program
         return gen.generate_codes_fused(
-            talker_params, cp_params, talker_cfg=cfg, cp_cfg=cpc, sampling=sampling,
-            prefill_embeds=prefill, prefill_len=jnp.int32(PREFILL_LEN),
+            tp or talker_params, cpp or cp_params, talker_cfg=cfg, cp_cfg=cpc,
+            sampling=sampling,
+            prefill_embeds=prefill if pf is None else pf,
+            prefill_len=jnp.int32(PREFILL_LEN),
             trailing_embeds=trailing, trailing_len=jnp.int32(12),
             tts_pad_embed=tts_pad, cache=make_cache(), max_steps=jnp.int32(FRAMES),
             max_frames=max_frames, key=jax.random.PRNGKey(seed),
         )
 
-    def run_gen_audio(seed):
+    def run_gen_audio(seed, tp=None, cpp=None, pf=None):
         # generate + vocode as ONE device program (production generate() path
         # since round 2: tts._generate_and_decode — no host round-trip
-        # between the decode loop and the vocoder)
+        # between the decode loop and the vocoder; since round 4 the KV cache
+        # is allocated inside the program, fixing the failed-donation copy)
         from qwen3tts_tpu.tts import _generate_and_decode
 
         return _generate_and_decode(
-            talker_params, cp_params, voc_params, talker_cfg=cfg, cp_cfg=cpc,
-            sampling=sampling, dec_cfg=vcfg,
-            prefill_embeds=prefill, prefill_len=jnp.int32(PREFILL_LEN),
+            tp or talker_params, cpp or cp_params, voc_params,
+            talker_cfg=cfg, cp_cfg=cpc, sampling=sampling, dec_cfg=vcfg,
+            prefill_embeds=prefill if pf is None else pf,
+            prefill_len=jnp.int32(PREFILL_LEN),
             trailing_embeds=trailing, trailing_len=jnp.int32(12),
-            tts_pad_embed=tts_pad, cache=make_cache(), max_steps=jnp.int32(FRAMES),
+            tts_pad_embed=tts_pad, cache_len=cache_len, max_steps=jnp.int32(FRAMES),
             max_frames=max_frames, key=jax.random.PRNGKey(seed),
         )
 
@@ -200,8 +245,6 @@ def main() -> None:
         talker_params, cp_params, c2,
         until_step=jnp.int32(AUDIO_CHUNK + LOOKAHEAD), **chunk_args,
     )
-    import numpy as np
-
     codes_np = np.asarray(c2.codes)  # host readback, as generate_stream does
     buf = np.zeros((1, WIN_BUCKET, 16), np.int32)
     buf[0, : AUDIO_CHUNK + LOOKAHEAD] = codes_np[: AUDIO_CHUNK + LOOKAHEAD]
@@ -230,8 +273,6 @@ def main() -> None:
         voc_times.append(time.time() - t0)
 
     # headline: the single-program gen+vocoder production path
-    import numpy as np
-
     @jax.jit
     def _sum(x):  # scalar sync without the ~1 MB wav readback (tunnel is slow)
         return x.sum()
@@ -273,46 +314,232 @@ def main() -> None:
 
     # ---- the other BASELINE.json workload configs (budget-guarded) ----
     # each scenario appends one compact entry; all of it rides the single
-    # stdout JSON line so the driver's parsed record carries every number
+    # stdout JSON line so the driver's parsed record carries every number.
+    # Skips are NEVER silent: logged + listed in headline["skipped"].
     scenarios: dict = {}
+    skipped: list = []
     budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     wanted = [
         s for s in os.environ.get(
-            "BENCH_SCENARIOS", "vd,batch,clone,int4,long"
+            "BENCH_SCENARIOS", "long,vd,clone,int4,batch"
         ).split(",") if s
     ]
 
-    def have_time(need_s: float) -> bool:
-        return time.time() - main_t0 + need_s < budget
+    def have_time(name: str, need_s: float) -> bool:
+        left = budget - (time.time() - main_t0)
+        if left < need_s:
+            skip(name, f"budget ({left:.0f}s left < {need_s:.0f}s estimated)")
+            return False
+        return True
 
-    # BASELINE configs[2]: VoiceDesign temperature sampling across 12
-    # languages. On synthetic weights a "language" differs only in prompt
-    # content/length, so this measures p50 RTF across 12 prompt variants
-    # through the already-compiled fused program.
-    if "vd" in wanted and have_time(30):
-        vd_times = []
-        for i in range(12):
+    def skip(name: str, why: str):
+        skipped.append({"scenario": name, "reason": why})
+        log(f"scenario {name} skipped: {why}")
+
+    std_config = QUANT == "int8" and MODEL == "0b6" and not INT4
+    for s in wanted:
+        if s in ("long", "vd", "clone", "int4", "batch") and not std_config:
+            skip(s, f"needs the int8 0.6B base config (QUANT={QUANT or 'bf16'}, "
+                    f"MODEL={MODEL}, INT4={INT4})")
+    if not std_config:
+        wanted = []
+
+    # ---------------- 1.7B block (BASELINE configs[1-3]) ----------------
+    # One shared param init; the long-decode program doubles as the vd/clone
+    # synthesis program (max_steps caps the while_loop; same compile).
+    block_17 = [s for s in ("long", "vd", "clone") if s in wanted]
+    if block_17 and have_time("+".join(block_17), 900):
+        try:
+            cfgL = _flagship_17b()
+            cpcL = cfgL.code_predictor_config
             t0 = time.time()
-            _, nf_i, wav_i, _ = run_gen_audio(40 + i)
-            np.asarray(_sum(wav_i))
-            vd_times.append(time.time() - t0)
-        vd_p50 = sorted(vd_times)[len(vd_times) // 2]
-        scenarios["voicedesign_12lang"] = {
-            "p50_rtf": round(vd_p50 / audio_s, 4),
-            "p95_rtf": round(sorted(vd_times)[-1] / audio_s, 4),
-        }
-        log(f"scenario vd: {json.dumps(scenarios['voicedesign_12lang'])}")
+            tpL, cpL = make_decode_params(cfgL, cpcL, seeds=(30, 31))
+            log(f"1.7B param init: {time.time() - t0:.1f}s")
+            LONG_FRAMES, long_cache = 512, 4096
+            prefillL = (
+                jax.random.normal(
+                    jax.random.PRNGKey(33), (1, p_bucket, cfgL.hidden_size), jnp.bfloat16
+                ) * 0.05
+            )
+            trailingL = (
+                jax.random.normal(jax.random.PRNGKey(34), (64, cfgL.hidden_size), jnp.bfloat16)
+                * 0.05
+            )
+            padL = jnp.zeros((cfgL.hidden_size,), jnp.bfloat16)
 
-    # Batched serving throughput (no reference counterpart — the batch-1
-    # reference cannot express it): B=32 lockstep, 66 frames/seq, int8
-    # megakernels with narrow batched attention (hardware-measured faster
-    # than the grouped-wide form at every batch size, 2026-08-18 A/B).
-    # Driver-reproducible source of the README/COMPONENTS tok/s number
-    # (tools/bench_batch.py is the parameterized version).
-    if "batch" in wanted and not (QUANT == "int8" and MODEL == "0b6"):
-        log("scenario batch skipped: needs the int8 0.6B config "
-            f"(QUANT={QUANT or 'bf16'}, MODEL={MODEL})")
-    elif "batch" in wanted and have_time(420):
+            def run_17b(seed, n_frames):
+                # one compiled program serves 512-frame long decode AND the
+                # 66-frame vd/clone synthesis (max_steps is a traced cap)
+                return gen.generate_codes_fused(
+                    tpL, cpL, talker_cfg=cfgL, cp_cfg=cpcL,
+                    sampling=sampling, prefill_embeds=prefillL,
+                    prefill_len=jnp.int32(PREFILL_LEN), trailing_embeds=trailingL,
+                    trailing_len=jnp.int32(12), tts_pad_embed=padL,
+                    cache=tk.make_cache(cfgL, 1, long_cache, jnp.bfloat16),
+                    max_steps=jnp.int32(n_frames), max_frames=LONG_FRAMES,
+                    key=jax.random.PRNGKey(seed),
+                )
+
+            t0 = time.time()
+            cL = run_17b(0, LONG_FRAMES)
+            jax.block_until_ready(cL.codes)  # compile+warm
+            log(f"1.7B generation compile+first run: {time.time() - t0:.1f}s")
+
+            if "long" in wanted:  # configs[1]: long decode + KV-cache growth
+                t0 = time.time()
+                cL = run_17b(1, LONG_FRAMES)
+                jax.block_until_ready(cL.codes)
+                genL_t = time.time() - t0
+                framesL = int(cL.n_frames)
+                audioL_s = framesL / CODEC_RATE
+                bufL = jnp.zeros((1, LONG_FRAMES, 16), jnp.int32).at[0, :framesL].set(
+                    cL.codes[:framesL]
+                )
+                wavL, _ = vc.decode(voc_params, vcfg, bufL, jnp.int32(framesL))
+                jax.block_until_ready(wavL)  # includes the 512-bucket compile
+                t0 = time.time()
+                wavL, _ = vc.decode(voc_params, vcfg, bufL, jnp.int32(framesL))
+                jax.block_until_ready(wavL)
+                vocL_t = time.time() - t0
+                scenarios["long_decode_1.7b_512f"] = {
+                    "rtf": round((genL_t + vocL_t) / audioL_s, 4),
+                    "gen_frames_s": round(framesL / genL_t, 1),
+                    "cache_slots": long_cache,
+                }
+                log(f"scenario long: {json.dumps(scenarios['long_decode_1.7b_512f'])}")
+
+            # vd/clone share the 66-frame 1.7B synthesis cost; the 128-bucket
+            # vocoder program is already warm from the 0.6B headline
+            def vd_run(seed):
+                t0 = time.time()
+                c = run_17b(seed, FRAMES)
+                jax.block_until_ready(c.codes)
+                g = time.time() - t0
+                t0 = time.time()
+                w, _ = vc.decode(
+                    voc_params, vcfg, c.codes[None, :max_frames], jnp.int32(FRAMES)
+                )
+                jax.block_until_ready(w)
+                return g + (time.time() - t0)
+
+            e2eL_66 = None
+            if "vd" in wanted and have_time("vd", 60):
+                # configs[2]: VoiceDesign temperature sampling across 12
+                # languages. On synthetic weights a "language" differs only
+                # in prompt content, so this is p50/p95 across 12 variants.
+                vd_run(39)  # warm the 66-frame path (vocoder slice shape)
+                vd_times = [vd_run(40 + i) for i in range(12)]
+                e2eL_66 = sorted(vd_times)[len(vd_times) // 2]
+                scenarios["voicedesign_12lang_1.7b"] = {
+                    "p50_rtf": round(e2eL_66 / audio_s, 4),
+                    "p95_rtf": round(sorted(vd_times)[-1] / audio_s, 4),
+                }
+                log(f"scenario vd: {json.dumps(scenarios['voicedesign_12lang_1.7b'])}")
+
+            if "clone" in wanted and have_time("clone", 240):
+                # configs[3]: voice clone — 3 s reference audio through the
+                # speech-tokenizer encoder + ECAPA x-vector (the clone-only
+                # prep cost), plus the 1.7B synthesis it precedes.
+                from qwen3tts_tpu.config import (
+                    SpeakerEncoderConfig,
+                    TokenizerEncoderConfig,
+                )
+                from qwen3tts_tpu.models import encoder as enc
+                from qwen3tts_tpu.models import speaker_encoder as spk
+
+                ecfg = TokenizerEncoderConfig()
+                scfg = SpeakerEncoderConfig()
+                ep = enc.init_encoder_params(jax.random.PRNGKey(7), ecfg, jnp.float32)
+                sp = spk.init_speaker_encoder_params(
+                    jax.random.PRNGKey(8), scfg, jnp.float32
+                )
+                audio3s = jax.random.normal(jax.random.PRNGKey(9), (72000,)) * 0.1
+                codes_ref = enc.encode(ep, ecfg, audio3s[None])
+                xv = spk.extract_embedding(sp, scfg, audio3s)
+                jax.block_until_ready((codes_ref, xv))  # compile+warm
+                t0 = time.time()
+                codes_ref = enc.encode(ep, ecfg, audio3s[None])
+                xv = spk.extract_embedding(sp, scfg, audio3s)
+                jax.block_until_ready((codes_ref, xv))
+                prep_s = time.time() - t0
+                if e2eL_66 is None:
+                    vd_run(59)  # warm
+                    e2eL_66 = vd_run(60)
+                scenarios["voice_clone_1.7b"] = {
+                    "prep_ms": round(prep_s * 1000, 1),
+                    "rtf_incl_prep": round((e2eL_66 + prep_s) / audio_s, 4),
+                }
+                log(f"scenario clone: {json.dumps(scenarios['voice_clone_1.7b'])}")
+            del tpL, cpL
+        except Exception as ex:  # pragma: no cover
+            log(f"scenario 1.7B block failed: {ex!r}")
+            skipped.append({"scenario": "+".join(block_17), "reason": f"error: {ex!r}"})
+
+    # ---------------- configs[4]: int4 edge model on the serving default --
+    # Round-4 from_pretrained default for an int4 checkpoint on TPU:
+    # dequantize -> requantize weight-only int8 (fused megakernels). The
+    # packed Pallas dequant-in-matmul path measured VPU-unpack bound (RTF
+    # 0.108, round 3) and stays the opt-in low-memory mode. Weight VALUES
+    # here are int4-roundtripped (exactly what unpacking yields), and the
+    # pruned-vocab token map is live on the measured prompt path. The param
+    # tree matches the headline's structure/shapes, so the fused program is
+    # a jit-cache HIT — this scenario costs seconds.
+    if "int4" in wanted and have_time("int4", 120):
+        try:
+            tp4, cp4 = make_decode_params(cfg, cpc, seeds=(0, 1), int4_values=True)
+            # pruned-vocab edge config (paper.tex:184-198): 47,426 retained
+            # rows + full-vocab token map, as separate prompt-path arrays so
+            # the decode param tree stays cache-compatible
+            full_v = cfg.text_vocab_size
+            n_keep = min(47426, full_v)
+            keep_rows = np.random.default_rng(5).permutation(full_v)[:n_keep]
+            tmap = np.zeros((full_v,), np.int32)
+            tmap[keep_rows] = np.arange(n_keep, dtype=np.int32)
+            pruned_embed = tp4["text_embedding"][jnp.asarray(keep_rows.astype(np.int32))]
+            token_map = jnp.asarray(tmap)
+
+            @jax.jit
+            def prompt_embeds_4(ids):
+                emb = pruned_embed[token_map[ids]]
+                from qwen3tts_tpu.models.talker import resize_mlp
+
+                return resize_mlp(tp4["text_projection"], emb).astype(jnp.bfloat16)
+
+            ids4 = jnp.asarray(
+                np.random.default_rng(6).choice(keep_rows, (1, PREFILL_LEN))
+                .astype(np.int32)
+            )
+            emb4 = prompt_embeds_4(ids4)
+            prefill4 = jnp.zeros_like(prefill).at[:, :PREFILL_LEN].set(emb4)
+
+            c4 = run_gen(0, tp4, cp4, prefill4)
+            jax.block_until_ready(c4.codes)  # warm (cache hit on the program)
+            t0 = time.time()
+            emb4 = prompt_embeds_4(ids4)  # token-map gather on the timed path
+            prefill4 = jnp.zeros_like(prefill).at[:, :PREFILL_LEN].set(emb4)
+            c4 = run_gen(1, tp4, cp4, prefill4)
+            jax.block_until_ready(c4.codes)
+            gen4_t = time.time() - t0
+            scenarios["int4_serving_0.6b"] = {
+                "rtf": round((gen4_t + voc_t) / audio_s, 4),
+                "codec_tok_s": round(int(c4.n_frames) * 16 / gen4_t, 0),
+                "note": "int4 ckpt values on the requantized-int8 serving "
+                        "default + pruned-vocab token map",
+            }
+            log(f"scenario int4: {json.dumps(scenarios['int4_serving_0.6b'])}")
+            del tp4, cp4
+        except Exception as ex:  # pragma: no cover
+            log(f"scenario int4 failed: {ex!r}")
+            skipped.append({"scenario": "int4", "reason": f"error: {ex!r}"})
+
+    # ---------------- extension: B=32 batched serving throughput ----------
+    # (no reference counterpart — the batch-1 reference cannot express it):
+    # B=32 lockstep, 66 frames/seq, int8 megakernels with narrow batched
+    # attention (hardware-measured faster than the grouped-wide form at
+    # every batch size, 2026-08-18 A/B). Driver-reproducible source of the
+    # README/COMPONENTS tok/s number (tools/bench_batch.py is the
+    # parameterized version).
+    if "batch" in wanted and have_time("batch", 420):
         try:
             from qwen3tts_tpu.models import batch_generate as bg
 
@@ -353,145 +580,12 @@ def main() -> None:
             log(f"scenario batch: {json.dumps(scenarios[f'batch{BB}_int8'])}")
         except Exception as ex:  # pragma: no cover
             log(f"scenario batch failed: {ex!r}")
-
-    # BASELINE configs[3]: voice clone — 3 s reference audio through the
-    # speech-tokenizer encoder + ECAPA x-vector (the clone-only prep cost),
-    # reported alongside the synthesis RTF it precedes.
-    if "clone" in wanted and have_time(240):
-        try:
-            from qwen3tts_tpu.config import SpeakerEncoderConfig, TokenizerEncoderConfig
-            from qwen3tts_tpu.models import encoder as enc
-            from qwen3tts_tpu.models import speaker_encoder as spk
-
-            ecfg = TokenizerEncoderConfig()
-            scfg = SpeakerEncoderConfig()
-            ep = enc.init_encoder_params(jax.random.PRNGKey(7), ecfg, jnp.float32)
-            sp = spk.init_speaker_encoder_params(jax.random.PRNGKey(8), scfg, jnp.float32)
-            audio3s = jax.random.normal(jax.random.PRNGKey(9), (72000,)) * 0.1
-            codes_ref = enc.encode(ep, ecfg, audio3s[None])
-            xv = spk.extract_embedding(sp, scfg, audio3s)
-            jax.block_until_ready((codes_ref, xv))  # compile+warm
-            t0 = time.time()
-            codes_ref = enc.encode(ep, ecfg, audio3s[None])
-            xv = spk.extract_embedding(sp, scfg, audio3s)
-            jax.block_until_ready((codes_ref, xv))
-            prep_s = time.time() - t0
-            scenarios["voice_clone"] = {
-                "prep_ms": round(prep_s * 1000, 1),
-                "rtf_incl_prep": round((e2e_t + prep_s) / audio_s, 4),
-            }
-            log(f"scenario clone: {json.dumps(scenarios['voice_clone'])}")
-        except Exception as ex:  # pragma: no cover - keep the bench alive
-            log(f"scenario clone failed: {ex!r}")
-
-    # BASELINE configs[4]: int4 packed-weight edge model (Pallas
-    # dequant-in-matmul path). Reuses the host numpy params.
-    if "int4" in wanted and not INT4 and have_time(420):
-        try:
-            tp4 = hi.to_device(hi.pack_linear_params(tp_np), jnp.bfloat16)
-            cp4 = hi.to_device(hi.pack_linear_params(cpp_np), jnp.bfloat16)
-
-            def run_gen4(seed):
-                return gen.generate_codes(
-                    tp4, cp4, talker_cfg=cfg, cp_cfg=cpc, sampling=sampling,
-                    prefill_embeds=prefill, prefill_len=jnp.int32(PREFILL_LEN),
-                    trailing_embeds=trailing, trailing_len=jnp.int32(12),
-                    tts_pad_embed=tts_pad, cache=make_cache(),
-                    max_steps=jnp.int32(FRAMES), max_frames=max_frames,
-                    key=jax.random.PRNGKey(seed),
-                )
-
-            c4 = run_gen4(0)
-            jax.block_until_ready(c4.codes)  # compile+warm
-            t0 = time.time()
-            c4 = run_gen4(1)
-            jax.block_until_ready(c4.codes)
-            gen4_t = time.time() - t0
-            scenarios["int4_packed_0.6b"] = {
-                "rtf": round((gen4_t + voc_t) / audio_s, 4),
-                "codec_tok_s": round(int(c4.n_frames) * 16 / gen4_t, 0),
-            }
-            log(f"scenario int4: {json.dumps(scenarios['int4_packed_0.6b'])}")
-            del tp4, cp4
-        except Exception as ex:  # pragma: no cover
-            log(f"scenario int4 failed: {ex!r}")
-
-    # BASELINE configs[1]: 1.7B long decode (512 frames = 41 s of audio,
-    # 4096-slot KV cache) on the int8 serving path — KV-cache growth is
-    # where frame time drifts up.
-    if "long" in wanted and MODEL != "1b7" and have_time(900):
-        try:
-            del tp_np, cpp_np
-            from qwen3tts_tpu.ops.quant import quantize_decode_params_int8
-
-            cfgL = _flagship_17b()
-            t0 = time.time()
-            tpL = hi.to_device(hi.host_init_talker_params(30, cfgL), jnp.bfloat16)
-            cpL = hi.to_device(
-                hi.host_init_cp_params(31, cfgL.code_predictor_config, cfgL.hidden_size),
-                jnp.bfloat16,
-            )
-            tpL = dict(tpL)
-            tpL["layers"] = tk.fuse_layer_projections(tpL["layers"])
-            tpL = quantize_decode_params_int8(tpL, "codec_head")
-            cpL = dict(cpL)
-            cpL["layers"] = tk.fuse_layer_projections(cpL["layers"])
-            cpL = quantize_decode_params_int8(cpL, "lm_head")
-            jax.block_until_ready(tpL["layers"]["input_layernorm"])
-            log(f"1.7B long-decode init: {time.time() - t0:.1f}s")
-            LONG_FRAMES, long_cache = 512, 4096
-            prefillL = (
-                jax.random.normal(
-                    jax.random.PRNGKey(33), (1, p_bucket, cfgL.hidden_size), jnp.bfloat16
-                ) * 0.05
-            )
-            trailingL = (
-                jax.random.normal(jax.random.PRNGKey(34), (64, cfgL.hidden_size), jnp.bfloat16)
-                * 0.05
-            )
-
-            def run_long(seed):
-                return gen.generate_codes_fused(
-                    tpL, cpL, talker_cfg=cfgL, cp_cfg=cfgL.code_predictor_config,
-                    sampling=sampling, prefill_embeds=prefillL,
-                    prefill_len=jnp.int32(PREFILL_LEN), trailing_embeds=trailingL,
-                    trailing_len=jnp.int32(12),
-                    tts_pad_embed=jnp.zeros((cfgL.hidden_size,), jnp.bfloat16),
-                    cache=tk.make_cache(cfgL, 1, long_cache, jnp.bfloat16),
-                    max_steps=jnp.int32(LONG_FRAMES), max_frames=LONG_FRAMES,
-                    key=jax.random.PRNGKey(seed),
-                )
-
-            cL = run_long(0)
-            jax.block_until_ready(cL.codes)  # compile+warm
-            t0 = time.time()
-            cL = run_long(1)
-            jax.block_until_ready(cL.codes)
-            genL_t = time.time() - t0
-            framesL = int(cL.n_frames)
-            audioL_s = framesL / CODEC_RATE
-            t0 = time.time()
-            bufL = jnp.zeros((1, LONG_FRAMES, 16), jnp.int32).at[0, :framesL].set(
-                cL.codes[:framesL]
-            )
-            wavL, _ = vc.decode(voc_params, vcfg, bufL, jnp.int32(framesL))
-            jax.block_until_ready(wavL)
-            vocL_warm = time.time() - t0  # includes the 512-bucket compile
-            t0 = time.time()
-            wavL, _ = vc.decode(voc_params, vcfg, bufL, jnp.int32(framesL))
-            jax.block_until_ready(wavL)
-            vocL_t = time.time() - t0
-            scenarios["long_decode_1.7b_512f"] = {
-                "rtf": round((genL_t + vocL_t) / audioL_s, 4),
-                "gen_frames_s": round(framesL / genL_t, 1),
-                "cache_slots": long_cache,
-            }
-            log(f"scenario long: {json.dumps(scenarios['long_decode_1.7b_512f'])}")
-        except Exception as ex:  # pragma: no cover
-            log(f"scenario long failed: {ex!r}")
+            skipped.append({"scenario": "batch", "reason": f"error: {ex!r}"})
 
     if scenarios:
         headline["scenarios"] = scenarios
+    if skipped:
+        headline["skipped"] = skipped
     log(f"total bench wall time: {time.time() - main_t0:.0f}s")
     print(json.dumps(headline))
 

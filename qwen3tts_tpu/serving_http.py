@@ -39,8 +39,10 @@ def make_server(
 
     ``result_timeout`` bounds how long one request's HTTP thread waits on
     its synthesis Future; a stuck worker yields 504 instead of pinning the
-    thread forever. Validation errors are 400; internal faults are 500.
+    thread forever. Validation errors are 400; a full request queue
+    (service created with ``max_queue=``) is 429; internal faults are 500.
     """
+    from .serving import ServiceOverloaded
     from .utils.audio import wav_bytes
 
     stats = {"requests": 0}
@@ -69,13 +71,16 @@ def make_server(
             after the full utterance. The reference has no serving at all;
             this mirrors what its streaming API enables in-process.
             """
-            from .tts import AudioChunkEvent
+            from .tts import AudioChunkEvent, Qwen3TTSError
             from .utils.audio import pcm16_bytes, wav_stream_header
 
             model = service.model
             if model.vocoder_params is None:
                 return self._json(400, {"error": "speech tokenizer not loaded"})
             try:
+                # generate_stream validates + builds the prompt EAGERLY, so
+                # an unknown speaker / missing instruct raises here — before
+                # the 200 header — instead of truncating the chunked WAV
                 stream = model.generate_stream_async(
                     text,
                     speaker=req.get("speaker"),
@@ -85,7 +90,7 @@ def make_server(
                     max_tokens=int(req.get("max_tokens", 2048)),
                     audio_chunk_frames=int(req.get("chunk_frames", 8)),
                 )
-            except (ValueError, TypeError, KeyError) as e:
+            except (Qwen3TTSError, ValueError, TypeError, KeyError) as e:
                 return self._json(400, {"error": f"bad request: {e}"})
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
@@ -128,6 +133,8 @@ def make_server(
                 return self._json(400, {"error": f"bad request: {e}"})
             if self.path == "/synthesize_stream":
                 return self._stream(req, text)
+            from .tts import Qwen3TTSError
+
             try:
                 fut = service.submit(
                     text,
@@ -137,7 +144,9 @@ def make_server(
                     seed=int(req.get("seed", 0)),
                     max_tokens=int(req.get("max_tokens", 2048)),
                 )
-            except (ValueError, TypeError, KeyError) as e:
+            except ServiceOverloaded as e:
+                return self._json(429, {"error": str(e)})
+            except (Qwen3TTSError, ValueError, TypeError, KeyError) as e:
                 return self._json(400, {"error": f"bad request: {e}"})
             try:
                 audio = fut.result(timeout=result_timeout)
@@ -169,10 +178,14 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--quantize", default=None, choices=[None, "int8"])
     ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument(
+        "--max-queue", type=int, default=64,
+        help="waiting-request bound; beyond it submits get 429 (0 = unbounded)",
+    )
     args = ap.parse_args(argv)
 
     model = Qwen3TTSModel.from_pretrained(args.model, quantize=args.quantize)
-    with model.serve(slots=args.slots) as service:
+    with model.serve(slots=args.slots, max_queue=args.max_queue or None) as service:
         srv = make_server(service, args.host, args.port)
         print(f"serving on http://{args.host}:{srv.server_address[1]}", flush=True)
         try:

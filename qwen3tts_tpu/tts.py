@@ -109,8 +109,10 @@ import functools
 
 @functools.partial(
     jax.jit,
-    static_argnames=("talker_cfg", "cp_cfg", "sampling", "max_frames", "dec_cfg"),
-    donate_argnames=("cache",),
+    static_argnames=(
+        "talker_cfg", "cp_cfg", "sampling", "max_frames", "dec_cfg",
+        "cache_len", "kv_quant",
+    ),
 )
 def _generate_and_decode(
     talker_params,
@@ -126,15 +128,24 @@ def _generate_and_decode(
     trailing_embeds,
     trailing_len,
     tts_pad_embed,
-    cache,
     max_steps,
     max_frames,
     key,
+    cache=None,
+    cache_len: int = 0,
+    kv_quant: bool = False,
 ):
     """The whole utterance — prefill, AR decode loop, AND vocoder — as ONE
     device program: the host is not involved between token generation and
     audio synthesis (one dispatch per utterance instead of two; the decode
     result never round-trips). Returns (codes, n_frames, wav, lengths).
+
+    With ``cache=None`` (the single-chip production path) the KV cache is
+    allocated *inside* the program from the static ``cache_len``/``kv_quant``
+    — it never exists as a host-side input buffer, which is what used to
+    trigger XLA's "donated buffers were not usable" copy (the lax.switch
+    vocoder capture defeated input/output aliasing). Mesh callers still pass
+    a pre-sharded ``cache`` so the sharding annotation propagates.
 
     The vocoder stage runs through a ``lax.switch`` over GEN_BUCKETS
     prefixes, decoding only the smallest bucket that covers ``n_frames``:
@@ -142,6 +153,10 @@ def _generate_and_decode(
     pays vocoder compute over the whole padded buffer (each branch zero-
     pads its waveform to the full-cap length so shapes agree; everything
     past ``n_frames * total_upsample`` is ignored by the caller anyway)."""
+    if cache is None:
+        cache = tk_mod.make_cache(
+            talker_cfg, 1, cache_len, prefill_embeds.dtype, quantized=kv_quant
+        )
     res = gen_mod.generate_codes(
         talker_params,
         cp_params,
@@ -286,6 +301,23 @@ class Qwen3TTSModel:
 
         if quantize not in (None, "int8"):
             raise Qwen3TTSError(f"Unsupported quantize mode: {quantize!r}")
+        if quantize is None and keep_packed is None:
+            # TPU serving default for quantized (MLX affine int4/int8)
+            # checkpoints: dequantize and requantize to weight-only int8 —
+            # the packed dequant-in-matmul path is VPU-unpack bound on v5e
+            # (RTF 0.108 vs 0.034, round-3 measurement) while int8 rides the
+            # fused megakernels. Packed stays available as the low-memory
+            # mode via keep_packed=True.
+            import json as _json
+            import os as _os
+
+            try:
+                with open(_os.path.join(model_path, "config.json")) as f:
+                    _has_quant = bool(_json.load(f).get("quantization"))
+            except (OSError, ValueError):
+                _has_quant = False
+            if _has_quant and jax.devices()[0].platform in ("tpu", "axon"):
+                quantize = "int8"
         if quantize:
             keep_packed = False  # int4 ckpts: dequantize, then requantize int8
         ckpt = Checkpoint(model_path, dtype, keep_packed=keep_packed)
@@ -336,8 +368,17 @@ class Qwen3TTSModel:
             from transformers import AutoTokenizer
 
             tokenizer = AutoTokenizer.from_pretrained(model_path)
-        except Exception:
-            pass
+        except Exception as ex:
+            # non-fatal (codes-only workflows don't need text), but say so
+            # now — otherwise the first symptom is a "Tokenizer not loaded"
+            # error much later, far from the cause
+            import warnings
+
+            warnings.warn(
+                f"could not load a text tokenizer from {model_path}: {ex!r}; "
+                "text synthesis entry points will raise until one is available",
+                stacklevel=2,
+            )
         return cls(
             config=ckpt.config,
             talker_params=ckpt.talker_params,
@@ -600,8 +641,15 @@ class Qwen3TTSModel:
             ref_exact_top_p=self.ref_exact_top_p,
         )
 
-    def _prep_run(self, input_embeds, trailing, tts_pad, max_steps: int) -> dict:
-        """Bucket/pad prompt + trailing streams, allocate the KV cache."""
+    def _prep_run(
+        self, input_embeds, trailing, tts_pad, max_steps: int, alloc_cache: bool = True
+    ) -> dict:
+        """Bucket/pad prompt + trailing streams, allocate the KV cache.
+
+        With ``alloc_cache=False`` the dict carries the static
+        ``cache_len``/``kv_quant`` instead of a device cache buffer — for
+        programs that allocate their cache internally (_generate_and_decode
+        on a single chip)."""
         p_len = input_embeds.shape[1]
         p_bucket = pad_to_bucket(p_len)
         prefill = jnp.pad(
@@ -615,6 +663,18 @@ class Qwen3TTSModel:
         # round the cache up to 128 so the Pallas decode-attention kernel
         # (128-row blocks) is eligible
         cache_len = -(-(p_bucket + max_frames) // 128) * 128
+        out = dict(
+            prefill_embeds=prefill,
+            prefill_len=jnp.int32(p_len),
+            trailing_embeds=trailing_p,
+            trailing_len=jnp.int32(t_len),
+            tts_pad_embed=tts_pad.astype(self.dtype),
+            max_frames=max_frames,
+        )
+        if not alloc_cache:
+            out["cache_len"] = cache_len
+            out["kv_quant"] = self.kv_quant
+            return out
         cache = tk_mod.make_cache(
             self.talker_cfg, 1, cache_len, self.dtype, quantized=self.kv_quant
         )
@@ -622,15 +682,8 @@ class Qwen3TTSModel:
             from .parallel import mesh as pm
 
             cache = pm.shard_cache(cache, self.mesh)
-        return dict(
-            prefill_embeds=prefill,
-            prefill_len=jnp.int32(p_len),
-            trailing_embeds=trailing_p,
-            trailing_len=jnp.int32(t_len),
-            tts_pad_embed=tts_pad.astype(self.dtype),
-            cache=cache,
-            max_frames=max_frames,
-        )
+        out["cache"] = cache
+        return out
 
     def _set_info(self, n_tokens: int, prompt_tokens: int, prefill_t: float, gen_t: float):
         self.last_info = GenerationInfo(
@@ -735,7 +788,12 @@ class Qwen3TTSModel:
                 sampling=sampling, max_steps=max_steps, seed=seed,
             )
             return self._decode_audio(codes, n)
-        prep = self._prep_run(input_embeds, trailing, tts_pad, max_steps)
+        # single-chip: the fused program allocates its cache internally (no
+        # host input buffer, no failed-donation copy); mesh callers pass a
+        # pre-sharded cache so the sharding annotation propagates
+        prep = self._prep_run(
+            input_embeds, trailing, tts_pad, max_steps, alloc_cache=self.mesh is not None
+        )
         dec_cfg = self.tokenizer_config.decoder_config
         t0 = time.time()
         with self._mesh_scope():
@@ -1403,6 +1461,7 @@ class Qwen3TTSModel:
         top_p: float = 1.0,
         repetition_penalty: float = 1.05,
         dp_mesh=None,
+        max_queue: int | None = None,
     ) -> "TTSService":
         """Create a long-lived synthesis service over this model.
 
@@ -1421,7 +1480,12 @@ class Qwen3TTSModel:
         over "dp" so each device runs the single-chip fast path on its
         slots/dp cache slots (parallel/dp.py); throughput scales with the
         device count. Requires slots divisible by the dp size and a model
-        loaded without ``mesh=``."""
+        loaded without ``mesh=``.
+
+        ``max_queue``: bound on WAITING requests (in-flight slots don't
+        count). A submit beyond it raises serving.ServiceOverloaded —
+        backpressure instead of unbounded queue growth; the HTTP front end
+        maps it to 429."""
         if dp_mesh is not None:
             self._validate_dp(dp_mesh, slots, "serve")
         return TTSService(
@@ -1433,6 +1497,7 @@ class Qwen3TTSModel:
             trailing_bucket=trailing_bucket,
             sampling=self._sampling(temperature, top_k, top_p, repetition_penalty),
             dp_mesh=dp_mesh,
+            max_queue=max_queue,
         )
 
     def generate_stream(
@@ -1461,6 +1526,12 @@ class Qwen3TTSModel:
         a capability the reference lacks (its README pins "final audio
         only", README.md:140). Chunks concatenate into a coherent waveform;
         the closing AudioEvent still carries the exact full decode.
+
+        Validation and prompt construction run EAGERLY (this is a plain
+        function returning a generator, not a generator function): a bad
+        speaker/instruct raises Qwen3TTSError at the call site — before any
+        consumer thread starts and, in the HTTP server, before the 200
+        header leaves the socket.
         """
         if self.vocoder_params is None or self.tokenizer_config is None:
             raise Qwen3TTSError("Speech tokenizer not loaded")
@@ -1470,7 +1541,13 @@ class Qwen3TTSModel:
         sampling = self._sampling(temperature, top_k, top_p, repetition_penalty)
         max_steps = self._effective_max_tokens(text, max_tokens)
         prep = self._prep_run(embeds, trailing, pad, max_steps)
+        return self._generate_stream_events(
+            text, prep, sampling, max_steps, seed, audio_chunk_frames
+        )
 
+    def _generate_stream_events(
+        self, text, prep, sampling, max_steps, seed, audio_chunk_frames
+    ):
         start = time.time()
         n_final = 0
         codes_final: np.ndarray | None = None
@@ -1620,13 +1697,13 @@ class TTSService:
 
     def __init__(
         self, model: Qwen3TTSModel, *, slots, chunk_frames, max_frames,
-        prompt_bucket, trailing_bucket, sampling, dp_mesh=None,
+        prompt_bucket, trailing_bucket, sampling, dp_mesh=None, max_queue=None,
     ):
         self._model = model
         self._kw = dict(
             slots=slots, chunk_frames=chunk_frames, max_frames=max_frames,
             prompt_bucket=prompt_bucket, trailing_bucket=trailing_bucket,
-            dp_mesh=dp_mesh,
+            dp_mesh=dp_mesh, max_queue=max_queue,
         )
         import threading
 
@@ -1692,9 +1769,21 @@ class TTSService:
                 max_steps=cap, seed=seed,
             )
         )
-        outer: Future = Future()
+
+        class _ServiceFuture(Future):
+            # cancel() reaches the still-queued server item too, so a
+            # cancelled request costs zero device work (serving.py honors
+            # cancel at admission time)
+            def cancel(self):
+                inner.cancel()
+                return super().cancel()
+
+        outer: Future = _ServiceFuture()
 
         def _vocode(f):
+            if f.cancelled():
+                outer.cancel()
+                return
             if not outer.set_running_or_notify_cancel():
                 return
             try:

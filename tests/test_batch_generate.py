@@ -208,6 +208,49 @@ class TestContinuousBatching:
         assert len(outs) == 5
         assert all(o.n_frames >= 1 for o in outs)
 
+    def test_first_wave_seeds_are_honored(self, params):
+        """Round-3 verdict #6: the batched initial prefill keyed everything
+        from items[0].seed, so changing another first-wave item's seed
+        changed nothing. Now every first-wave seed folds into the key
+        (serving._first_wave_key): (a) same seeds -> identical runs,
+        (b) a different seed on item 1 -> item 1's sampled codes change."""
+        from qwen3tts_tpu.serving import BatchItem
+
+        sampled = gen.SamplingConfig(0.9, 8, 1.0, 1.0, forbid_eos=True)
+        h = TINY_TALKER.hidden_size
+
+        def items(seed1):
+            out = []
+            for i, s in enumerate([0, seed1]):
+                p = jax.random.normal(jax.random.PRNGKey(100 + i), (1, 5, h)) * 0.1
+                t = jax.random.normal(jax.random.PRNGKey(200 + i), (3, h)) * 0.1
+                out.append(
+                    BatchItem(prefill_embeds=p, trailing=t, max_steps=6, seed=s)
+                )
+            return out
+
+        def run(seed1):
+            from qwen3tts_tpu.serving import ContinuousBatcher
+
+            talker, cpp = params
+            b = ContinuousBatcher(
+                talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP,
+                sampling=sampled,
+                tts_pad_embed=jnp.zeros((h,)),
+                slots=2, chunk_frames=3, max_frames=16, dtype=jnp.float32,
+            )
+            return b.run(items(seed1))
+
+        a1, a2 = run(1), run(1)
+        b1 = run(2)
+        # determinism: same seeds reproduce exactly
+        np.testing.assert_array_equal(a1[1].codes, a2[1].codes)
+        # sensitivity: item 1's seed reaches the first-wave key
+        assert not (
+            a1[1].n_frames == b1[1].n_frames
+            and np.array_equal(a1[1].codes, b1[1].codes)
+        ), "changing a first-wave item's seed must change its sampled codes"
+
     def test_ragged_lengths_dont_stall_slots(self, params):
         """Efficiency (VERDICT r1 #7 'done' criterion, measured in lockstep
         iterations — deterministic, unlike wall time): one long request plus
@@ -286,6 +329,40 @@ class TestServer:
         srv.close()
         with _pytest.raises(RuntimeError):
             srv.submit(self._item(2, 5, 3))
+
+    def test_backpressure_overflow(self, params):
+        """max_queue bounds WAITING requests: the flood's tail gets a typed
+        ServiceOverloaded instead of unbounded queue growth (round-3
+        verdict #8)."""
+        from qwen3tts_tpu.serving import ServiceOverloaded
+
+        srv = self._server(params, max_queue=2)
+        futs, overloaded = [], 0
+        for i in range(12):
+            try:
+                futs.append(srv.submit(self._item(i, 5, 3)))
+            except ServiceOverloaded:
+                overloaded += 1
+        assert overloaded > 0, "flood past max_queue must raise"
+        outs = [f.result(timeout=600) for f in futs]
+        srv.close()
+        assert all(o.n_frames >= 1 for o in outs)  # accepted ones complete
+
+    def test_cancel_queued_request(self, params):
+        """Future.cancel() on a still-queued item: the worker skips it
+        without device work; admitted items are RUNNING and uncancellable."""
+        import time as _time
+
+        srv = self._server(params, slots=1)
+        f1 = srv.submit(self._item(0, 6, 8))
+        f2 = srv.submit(self._item(1, 5, 8))  # queued behind f1's slot
+        f3 = srv.submit(self._item(2, 5, 8))
+        assert f3.cancel() is True
+        out1 = f1.result(timeout=600)
+        out2 = f2.result(timeout=600)
+        srv.close()
+        assert f3.cancelled()
+        assert out1.n_frames >= 1 and out2.n_frames >= 1
 
     def test_worker_failure_propagates(self, params, monkeypatch):
         """A crash in the device loop must fail pending futures, not hang."""

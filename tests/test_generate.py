@@ -194,16 +194,27 @@ class TestFusedAudioBuckets:
         trailing = jnp.zeros((8, TINY_TALKER.hidden_size))
         pad = jnp.zeros((TINY_TALKER.hidden_size,))
         cache_len = -(-(16 + cap) // 128) * 128
-        codes, n, wav, lengths = _generate_and_decode(
-            talker, cpp, vp,
+        common = dict(
             talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=sampling,
             dec_cfg=vcfg, prefill_embeds=prefill, prefill_len=jnp.int32(12),
             trailing_embeds=trailing, trailing_len=jnp.int32(4),
             tts_pad_embed=pad,
-            cache=tk.make_cache(TINY_TALKER, 1, cache_len, jnp.float32),
             max_steps=jnp.int32(max_steps), max_frames=cap,
             key=jax.random.PRNGKey(7),
         )
+        # production single-chip path: cache allocated inside the program
+        codes, n, wav, lengths = _generate_and_decode(
+            talker, cpp, vp, cache_len=cache_len, **common
+        )
+        # mesh path: externally-allocated cache — must match exactly
+        codes_e, n_e, wav_e, _ = _generate_and_decode(
+            talker, cpp, vp,
+            cache=tk.make_cache(TINY_TALKER, 1, cache_len, jnp.float32),
+            **common,
+        )
+        np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes_e))
+        assert int(n) == int(n_e)
+        np.testing.assert_array_equal(np.asarray(wav), np.asarray(wav_e))
         n = int(n)
         assert n == max_steps  # forbid_eos: runs to the cap
         up = vcfg.total_upsample

@@ -83,6 +83,67 @@ def test_http_server(model):
             with pytest.raises(urllib.error.HTTPError) as ei:
                 urllib.request.urlopen(bad, timeout=30)
             assert ei.value.code == 400
+
+            # bad request: unknown speaker (a Qwen3TTSError from validation)
+            # must be a clean 400 on BOTH endpoints — not a reset connection
+            # (/synthesize) or a truncated chunked WAV (/synthesize_stream)
+            # [round-3 verdict #2]
+            for path in ("/synthesize", "/synthesize_stream"):
+                badspk = urllib.request.Request(
+                    base + path,
+                    data=json.dumps({"text": "x", "speaker": "NoSuch"}).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    urllib.request.urlopen(badspk, timeout=60)
+                assert ei.value.code == 400, path
+                assert "NoSuch" in json.loads(ei.value.read())["error"]
+        finally:
+            srv.shutdown()
+
+
+def test_http_overload_429(model):
+    """A full bounded queue surfaces as HTTP 429 (serving.ServiceOverloaded
+    from Qwen3TTSServer.submit -> serving_http's 429 mapping)."""
+    from qwen3tts_tpu.serving_http import make_server
+
+    with model.serve(
+        slots=1, chunk_frames=3, max_frames=16,
+        prompt_bucket=64, trailing_bucket=16, max_queue=1,
+    ) as svc:
+        srv = make_server(svc, "127.0.0.1", 0)
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+
+            codes = []
+
+            def post_one(i):
+                req = urllib.request.Request(
+                    base + "/synthesize",
+                    data=json.dumps(
+                        {"text": f"flood {i}", "speaker": "Aiden",
+                         "max_tokens": 8}
+                    ).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=600) as r:
+                        codes.append(r.status)
+                except urllib.error.HTTPError as e:
+                    codes.append(e.code)
+
+            threads = [threading.Thread(target=post_one, args=(i,))
+                       for i in range(8)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            assert 429 in codes, codes  # the flood's tail was shed
+            assert 200 in codes, codes  # accepted requests completed
+            assert set(codes) <= {200, 429}
         finally:
             srv.shutdown()
 
