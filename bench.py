@@ -129,7 +129,12 @@ def main() -> None:
         log("runtime int8 weight-only quantization (fused projections)"
             if QUANT == "int8" else
             "bf16 with fused talker projections (whole-step kernel)")
-    voc_params = vc.init_vocoder_params(jax.random.PRNGKey(2), vcfg, jnp.float32)
+    # one jit program for the whole vocoder init: eager init_vocoder_params
+    # issues ~100 small RNG dispatches, each a separate remote compile on
+    # the tunneled backend (~100 s of the round-3 bench's param init)
+    voc_params = jax.jit(
+        lambda k: vc.init_vocoder_params(k, vcfg, jnp.float32)
+    )(jax.random.PRNGKey(2))
     jax.block_until_ready(jax.tree.leaves(voc_params)[0])
     log(f"param init: {time.time() - t0:.1f}s")
 
@@ -158,7 +163,7 @@ def main() -> None:
             prefill_embeds=prefill if pf is None else pf,
             prefill_len=jnp.int32(PREFILL_LEN),
             trailing_embeds=trailing, trailing_len=jnp.int32(12),
-            tts_pad_embed=tts_pad, cache=make_cache(), max_steps=jnp.int32(FRAMES),
+            tts_pad_embed=tts_pad, cache_len=cache_len, max_steps=jnp.int32(FRAMES),
             max_frames=max_frames, key=jax.random.PRNGKey(seed),
         )
 
@@ -215,47 +220,34 @@ def main() -> None:
     log(f"TTFT (prefill + 1 frame): {ttft * 1000:.1f}ms")
 
     # ---- TTFA (time to first audio, streaming path) ----
-    # mirrors tts.generate_stream(audio_chunk_frames=N): prefill + ramped
-    # first device chunk of FIRST_AUDIO+LOOKAHEAD frames (tts.py
-    # STREAM_FIRST_AUDIO_FRAMES / STREAM_LOOKAHEAD_FRAMES), then a windowed
-    # vocoder decode in the smallest stream bucket (32) — production's
-    # exact first-chunk path since round 3
-    AUDIO_CHUNK, LOOKAHEAD, WIN_BUCKET = 4, 8, 32
-    win = jnp.zeros((1, WIN_BUCKET, 16), jnp.int32)
-    wav_w, _ = vc.decode(voc_params, vcfg, win, jnp.int32(AUDIO_CHUNK + LOOKAHEAD))
-    jax.block_until_ready(wav_w)  # warm the window-decode program
-    chunk_args = dict(
-        talker_cfg=cfg, cp_cfg=cpc, sampling=sampling, trailing_embeds=trailing,
-        trailing_len=jnp.int32(12), tts_pad_embed=tts_pad,
-    )
-    warm2 = gen.generate_chunk(
-        talker_params, cp_params, warm,
-        until_step=jnp.int32(AUDIO_CHUNK + LOOKAHEAD), **chunk_args,
-    )
-    jax.block_until_ready(warm2.tokens)  # warm the chunk program
+    # mirrors tts.generate_stream(audio_chunk_frames=N) since round 4:
+    # prefill + the ramped first chunk (FIRST_AUDIO + LOOKAHEAD frames) +
+    # the first windowed vocoder decode fused into ONE dispatch
+    # (tts._prefill_first_audio); the host slices the emit-safe PCM prefix
+    # from the returned window
+    AUDIO_CHUNK, LOOKAHEAD, WIN_BUCKET = 4, 8, 16
+    from qwen3tts_tpu.tts import _prefill_first_audio
+
+    def run_ttfa(seed):
+        return _prefill_first_audio(
+            talker_params, cp_params, voc_params,
+            talker_cfg=cfg, cp_cfg=cpc, sampling=sampling, dec_cfg=vcfg,
+            prefill_embeds=prefill, prefill_len=jnp.int32(PREFILL_LEN),
+            trailing_embeds=trailing, trailing_len=jnp.int32(12),
+            tts_pad_embed=tts_pad, max_steps=jnp.int32(FRAMES),
+            max_frames=max_frames, key=jax.random.PRNGKey(seed),
+            cache_len=cache_len, first_chunk=AUDIO_CHUNK + LOOKAHEAD,
+            win_bucket=WIN_BUCKET,
+        )
+    c2, wav_w = run_ttfa(16)
+    jax.block_until_ready(wav_w)  # compile+warm
     t0 = time.time()
-    c2 = gen.prefill_start(
-        talker_params, cp_params, talker_cfg=cfg, cp_cfg=cpc, sampling=sampling,
-        prefill_embeds=prefill, prefill_len=jnp.int32(PREFILL_LEN),
-        trailing_embeds=trailing, trailing_len=jnp.int32(12),
-        tts_pad_embed=tts_pad, cache=make_cache(), max_frames=max_frames,
-        key=jax.random.PRNGKey(6),
-    )
-    c2 = gen.generate_chunk(
-        talker_params, cp_params, c2,
-        until_step=jnp.int32(AUDIO_CHUNK + LOOKAHEAD), **chunk_args,
-    )
-    codes_np = np.asarray(c2.codes)  # host readback, as generate_stream does
-    buf = np.zeros((1, WIN_BUCKET, 16), np.int32)
-    buf[0, : AUDIO_CHUNK + LOOKAHEAD] = codes_np[: AUDIO_CHUNK + LOOKAHEAD]
-    wav_first, _ = vc.decode(
-        voc_params, vcfg, jnp.asarray(buf), jnp.int32(AUDIO_CHUNK + LOOKAHEAD)
-    )
-    pcm = np.asarray(wav_first)[0][: AUDIO_CHUNK * 1920]  # host-side slice
+    c2, wav_first = run_ttfa(6)
+    pcm = np.asarray(wav_first)[: AUDIO_CHUNK * 1920]  # readback + host slice
     ttfa = time.time() - t0
-    log(f"TTFA (prefill + {AUDIO_CHUNK + LOOKAHEAD} frames + windowed vocoder "
-        f"-> {pcm.shape[0]} samples = {AUDIO_CHUNK / CODEC_RATE:.2f}s audio): "
-        f"{ttfa * 1000:.1f}ms")
+    log(f"TTFA (fused prefill + {AUDIO_CHUNK + LOOKAHEAD} frames + windowed "
+        f"vocoder -> {pcm.shape[0]} samples = {AUDIO_CHUNK / CODEC_RATE:.2f}s "
+        f"audio, one dispatch): {ttfa * 1000:.1f}ms")
 
     # ---- timed runs ----
     n_runs = 3
@@ -375,7 +367,7 @@ def main() -> None:
                     sampling=sampling, prefill_embeds=prefillL,
                     prefill_len=jnp.int32(PREFILL_LEN), trailing_embeds=trailingL,
                     trailing_len=jnp.int32(12), tts_pad_embed=padL,
-                    cache=tk.make_cache(cfgL, 1, long_cache, jnp.bfloat16),
+                    cache_len=long_cache,
                     max_steps=jnp.int32(n_frames), max_frames=LONG_FRAMES,
                     key=jax.random.PRNGKey(seed),
                 )
@@ -449,10 +441,14 @@ def main() -> None:
 
                 ecfg = TokenizerEncoderConfig()
                 scfg = SpeakerEncoderConfig()
-                ep = enc.init_encoder_params(jax.random.PRNGKey(7), ecfg, jnp.float32)
-                sp = spk.init_speaker_encoder_params(
-                    jax.random.PRNGKey(8), scfg, jnp.float32
-                )
+                # jit the inits: one compile each instead of ~1 s/param
+                # through the tunnel (see the vocoder init note above)
+                ep = jax.jit(
+                    lambda k: enc.init_encoder_params(k, ecfg, jnp.float32)
+                )(jax.random.PRNGKey(7))
+                sp = jax.jit(
+                    lambda k: spk.init_speaker_encoder_params(k, scfg, jnp.float32)
+                )(jax.random.PRNGKey(8))
                 audio3s = jax.random.normal(jax.random.PRNGKey(9), (72000,)) * 0.1
                 codes_ref = enc.encode(ep, ecfg, audio3s[None])
                 xv = spk.extract_embedding(sp, scfg, audio3s)

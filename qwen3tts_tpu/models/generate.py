@@ -432,12 +432,26 @@ def generate_codes(
     trailing_embeds: jnp.ndarray,
     trailing_len: jnp.ndarray,
     tts_pad_embed: jnp.ndarray,
-    cache: tk.KVCache,
-    max_steps: jnp.ndarray,
-    max_frames: int,
-    key: jax.Array,
+    cache: tk.KVCache | None = None,
+    max_steps: jnp.ndarray = None,
+    max_frames: int = 0,
+    key: jax.Array = None,
+    cache_len: int = 0,
+    kv_quant: bool = False,
 ) -> GenResult:
-    """Run the full AR synthesis loop for one utterance; returns codec codes."""
+    """Run the full AR synthesis loop for one utterance; returns codec codes.
+
+    ``cache=None`` (single-chip production path): the KV cache is allocated
+    *inside* the program from the static ``cache_len``/``kv_quant`` — the
+    cache never exists as a host-visible input buffer, so the fused variant
+    needs no donation (the cache is not an output, so a donated input could
+    never alias and XLA warned "donated buffers were not usable" on every
+    call). Mesh callers pass a pre-sharded ``cache`` so the sharding
+    annotation propagates."""
+    if cache is None:
+        cache = tk.make_cache(
+            talker_cfg, 1, cache_len, prefill_embeds.dtype, quantized=kv_quant
+        )
     carry = prefill_start(
         talker_params,
         cp_params,
@@ -471,9 +485,16 @@ def generate_codes(
 # Non-streaming fast path: the whole utterance (prefill + full while_loop)
 # as ONE compiled program — saves a device dispatch round-trip per utterance
 # vs the prefill_start/generate_chunk pair (the tunnel RTT is material here).
+# With cache=None (single-chip production default) the cache is in-program:
+# nothing is donated and XLA's "donated buffers were not usable" warning
+# (the cache can never alias an output — GenResult carries no cache) is
+# gone from the hot path. Mesh callers still pass + donate an explicit
+# pre-sharded cache: unaliasable, but donation frees it during execution.
 generate_codes_fused = functools.partial(
     jax.jit,
-    static_argnames=("talker_cfg", "cp_cfg", "sampling", "max_frames"),
+    static_argnames=(
+        "talker_cfg", "cp_cfg", "sampling", "max_frames", "cache_len", "kv_quant"
+    ),
     donate_argnames=("cache",),
 )(generate_codes)
 

@@ -198,6 +198,87 @@ def _generate_and_decode(
     return res.codes, res.n_frames, wav, lengths
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "talker_cfg", "cp_cfg", "sampling", "max_frames", "dec_cfg",
+        "cache_len", "kv_quant", "first_chunk", "win_bucket",
+    ),
+)
+def _prefill_first_audio(
+    talker_params,
+    cp_params,
+    voc_params,
+    *,
+    talker_cfg,
+    cp_cfg,
+    sampling,
+    dec_cfg,
+    prefill_embeds,
+    prefill_len,
+    trailing_embeds,
+    trailing_len,
+    tts_pad_embed,
+    max_steps,
+    max_frames,
+    key,
+    cache_len: int,
+    kv_quant: bool = False,
+    first_chunk: int = 12,
+    win_bucket: int = 16,
+):
+    """The entire time-to-first-audio critical path as ONE device program:
+    prefill + the first ``first_chunk`` decode frames + the first windowed
+    vocoder decode. Production streaming used to spend three tunneled
+    dispatches (prefill_start / generate_chunk / window vocode) plus a
+    full-codes-buffer readback before the first PCM left the chip; here a
+    single dispatch returns the resumable carry AND the first window's
+    waveform (round-3 verdict #6: TTFA was structurally serial).
+
+    The window is frames [0, win_bucket) decoded with ``min(step,
+    win_bucket)`` valid frames — bit-identical to what
+    ``_decode_audio_window(codes, 0, upto, step)`` computes for the first
+    emit (same bucket, same buffer content, same valid count); the caller
+    slices the emit-safe prefix ``[0, upto * total_upsample)`` on the host.
+    The KV cache is allocated in-program (single-chip path, like
+    _generate_and_decode); streaming then resumes via generate_chunk on the
+    returned carry.
+    """
+    cache = tk_mod.make_cache(
+        talker_cfg, 1, cache_len, prefill_embeds.dtype, quantized=kv_quant
+    )
+    carry = gen_mod.prefill_start.__wrapped__(
+        talker_params,
+        cp_params,
+        talker_cfg=talker_cfg,
+        cp_cfg=cp_cfg,
+        sampling=sampling,
+        prefill_embeds=prefill_embeds,
+        prefill_len=prefill_len,
+        trailing_embeds=trailing_embeds,
+        trailing_len=trailing_len,
+        tts_pad_embed=tts_pad_embed,
+        cache=cache,
+        max_frames=max_frames,
+        key=key,
+    )
+    carry = gen_mod.generate_chunk.__wrapped__(
+        talker_params,
+        cp_params,
+        carry,
+        talker_cfg=talker_cfg,
+        cp_cfg=cp_cfg,
+        sampling=sampling,
+        trailing_embeds=trailing_embeds,
+        trailing_len=trailing_len,
+        tts_pad_embed=tts_pad_embed,
+        until_step=jnp.minimum(jnp.int32(first_chunk), max_steps),
+    )
+    w = jnp.minimum(carry.step, jnp.int32(win_bucket))
+    wav, _ = vc_mod.decode(voc_params, dec_cfg, carry.codes[None, :win_bucket], w)
+    return carry, wav[0]
+
+
 class Qwen3TTSModel:
     """Loaded model bundle + synthesis entry points."""
 
@@ -710,7 +791,13 @@ class Qwen3TTSModel:
         """Bucketed prefill + fused decode; returns (codes [n,16], n_frames)."""
         if self.cp_params is None or self.cp_cfg is None:
             raise Qwen3TTSError("Code predictor not available")
-        prep = self._prep_run(input_embeds, trailing, tts_pad, max_steps)
+        # single-chip non-streaming: the fused program allocates its cache
+        # internally (no host input buffer, nothing to donate); the chunked
+        # streaming path and mesh callers need a real (pre-sharded) cache
+        prep = self._prep_run(
+            input_embeds, trailing, tts_pad, max_steps,
+            alloc_cache=on_token is not None or self.mesh is not None,
+        )
         common = dict(
             talker_cfg=self.talker_cfg,
             cp_cfg=self.cp_cfg,
@@ -747,7 +834,7 @@ class Qwen3TTSModel:
         t0 = time.time()
         codes = None
         n = 0
-        for new_tokens, step, codes_np, done in self._stream_codes(
+        for new_tokens, step, codes_np, done, _ in self._stream_codes(
             prep, sampling, max_steps, seed
         ):
             for t in new_tokens:
@@ -822,13 +909,33 @@ class Qwen3TTSModel:
             out = out[:valid]
         return out
 
-    def _stream_codes(self, prep: dict, sampling: SamplingConfig, max_steps: int, seed: int):
+    def _stream_codes(
+        self,
+        prep: dict,
+        sampling: SamplingConfig,
+        max_steps: int,
+        seed: int,
+        first_audio: bool = False,
+    ):
         """Drive prefill_start + generate_chunk; yield between device chunks.
 
-        Yields (new_tokens, total_frames, codes [max_frames,16] np, done) —
-        the host reads token/code buffers back between chunks, so consumers
-        observe tokens WHILE the utterance is still being generated (no host
-        callbacks; the tunneled TPU backend cannot run io_callback).
+        Yields (new_tokens, total_frames, codes [max_frames,16] np, done,
+        first_pcm) — the host reads token/code buffers back between chunks,
+        so consumers observe tokens WHILE the utterance is still being
+        generated (no host callbacks; the tunneled TPU backend cannot run
+        io_callback).
+
+        ``first_audio=True`` (single-chip audio streaming): the first
+        iteration runs :func:`_prefill_first_audio` — prefill, the first
+        ~12 decode frames, AND the first vocoder window in one dispatch —
+        and the first yield carries that window's PCM in ``first_pcm``
+        (float32 [win_bucket * upsample]; every other yield has None).
+        ``prep`` must then carry ``cache_len``/``kv_quant`` instead of a
+        device cache (see _prep_run(alloc_cache=False)).
+
+        The next chunk is dispatched BEFORE yielding (the readbacks above
+        the dispatch satisfy generate_chunk's carry donation), so the
+        device decodes chunk N+1 while the consumer cuts window N's PCM.
         """
         common = dict(
             talker_cfg=self.talker_cfg, cp_cfg=self.cp_cfg, sampling=sampling
@@ -838,17 +945,6 @@ class Qwen3TTSModel:
             trailing_len=prep["trailing_len"],
             tts_pad_embed=prep["tts_pad_embed"],
         )
-        t0 = time.time()
-        with self._mesh_scope():
-            carry = gen_mod.prefill_start(
-                self.talker_params,
-                self.cp_params,
-                **common,
-                **prep,
-                key=jax.random.PRNGKey(seed),
-            )
-            jax.block_until_ready(carry.tokens)
-        self._last_prefill_time = time.time() - t0
         chunk = self.stream_chunk_frames
         # the first device chunk is just big enough to clear the vocoder
         # lookahead plus the first audio emit — the host sees tokens (and
@@ -856,6 +952,35 @@ class Qwen3TTSModel:
         first_chunk = min(
             chunk, self.STREAM_FIRST_AUDIO_FRAMES + self.STREAM_LOOKAHEAD_FRAMES
         )
+        first_pcm = None
+        t0 = time.time()
+        with self._mesh_scope():
+            if first_audio:
+                carry, wav0 = _prefill_first_audio(
+                    self.talker_params,
+                    self.cp_params,
+                    self.vocoder_params,
+                    **common,
+                    **prep,
+                    dec_cfg=self.tokenizer_config.decoder_config,
+                    max_steps=jnp.int32(max_steps),
+                    first_chunk=first_chunk,
+                    win_bucket=self.STREAM_BUCKETS[0],
+                    key=jax.random.PRNGKey(seed),
+                )
+                first_pcm = np.asarray(wav0)
+            else:
+                carry = gen_mod.prefill_start(
+                    self.talker_params,
+                    self.cp_params,
+                    **common,
+                    **prep,
+                    key=jax.random.PRNGKey(seed),
+                )
+                jax.block_until_ready(carry.tokens)
+        # with first_audio this includes the first chunk + vocoder window
+        # (one program — the split isn't observable without extra dispatches)
+        self._last_prefill_time = time.time() - t0
         emitted = 0
         while True:
             step = int(carry.step)
@@ -865,20 +990,25 @@ class Qwen3TTSModel:
             tokens = np.asarray(carry.tokens)[:step]
             new = [int(t) for t in tokens[emitted:] if t >= 0]
             emitted = step
-            yield new, step, np.asarray(carry.codes), done
+            codes_np = np.asarray(carry.codes)
+            if not done:
+                # dispatch the next chunk before yielding: generate_chunk
+                # donates `carry` (everything needed was read back above),
+                # and the device works while the consumer vocodes
+                cur = first_chunk if emitted <= first_chunk else chunk
+                with self._mesh_scope():
+                    carry = gen_mod.generate_chunk(
+                        self.talker_params,
+                        self.cp_params,
+                        carry,
+                        **chunk_args,
+                        until_step=jnp.int32(min(step + cur, max_steps)),
+                        **common,
+                    )
+            yield new, step, codes_np, done, first_pcm
+            first_pcm = None
             if done:
                 return
-            # generate_chunk donates `carry`; everything needed was read above
-            cur = first_chunk if emitted <= first_chunk else chunk
-            with self._mesh_scope():
-                carry = gen_mod.generate_chunk(
-                    self.talker_params,
-                    self.cp_params,
-                    carry,
-                    **chunk_args,
-                    until_step=jnp.int32(min(step + cur, max_steps)),
-                    **common,
-                )
 
     def _profile_replay(self, input_embeds, trailing, tts_pad, codes, n: int):
         """Replay the generated sequence (teacher forcing) to collect
@@ -1540,20 +1670,35 @@ class Qwen3TTSModel:
         )
         sampling = self._sampling(temperature, top_k, top_p, repetition_penalty)
         max_steps = self._effective_max_tokens(text, max_tokens)
-        prep = self._prep_run(embeds, trailing, pad, max_steps)
+        # single-chip audio streaming: prefill + first chunk + first vocoder
+        # window fuse into one dispatch (_prefill_first_audio; the cache is
+        # allocated in-program, so no device cache buffer in prep). Mesh
+        # callers keep the split path (they pass a pre-sharded cache).
+        import os as _os
+
+        first_audio = bool(
+            audio_chunk_frames
+            and self.mesh is None
+            and not _os.environ.get("QWEN3TTS_NO_FUSED_TTFA")
+        )
+        prep = self._prep_run(
+            embeds, trailing, pad, max_steps, alloc_cache=not first_audio
+        )
         return self._generate_stream_events(
-            text, prep, sampling, max_steps, seed, audio_chunk_frames
+            text, prep, sampling, max_steps, seed, audio_chunk_frames, first_audio
         )
 
     def _generate_stream_events(
-        self, text, prep, sampling, max_steps, seed, audio_chunk_frames
+        self, text, prep, sampling, max_steps, seed, audio_chunk_frames,
+        first_audio=False,
     ):
         start = time.time()
         n_final = 0
         codes_final: np.ndarray | None = None
         audio_emitted = 0  # frames whose PCM has been yielded
-        for new_tokens, step, codes, done in self._stream_codes(
-            prep, sampling, max_steps, seed
+        up = self.tokenizer_config.decoder_config.total_upsample
+        for new_tokens, step, codes, done, first_pcm in self._stream_codes(
+            prep, sampling, max_steps, seed, first_audio=first_audio
         ):
             for t in new_tokens:
                 yield TokenEvent(t)
@@ -1568,7 +1713,15 @@ class Qwen3TTSModel:
                 else:
                     need = audio_chunk_frames
                 if upto - audio_emitted >= need:
-                    pcm = self._decode_audio_window(codes, audio_emitted, upto, step)
+                    if first_pcm is not None and upto * up <= first_pcm.shape[0]:
+                        # the fused first dispatch already vocoded this
+                        # window (frames [0, win_bucket), valid to `step`) —
+                        # slice the emit-safe prefix instead of re-decoding
+                        pcm = first_pcm[audio_emitted * up : upto * up]
+                    else:
+                        pcm = self._decode_audio_window(
+                            codes, audio_emitted, upto, step
+                        )
                     yield AudioChunkEvent(pcm, audio_emitted)
                     audio_emitted = upto
             if done:

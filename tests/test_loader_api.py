@@ -185,6 +185,41 @@ class TestPublicAPI:
         for a, b in zip(chunks, chunks[1:]):
             assert b.frame_offset * 1920 == a.frame_offset * 1920 + a.audio.shape[0]
 
+    def test_stream_fused_first_audio_matches_split(self, model, monkeypatch):
+        """The fused prefill+first-chunk+first-window dispatch
+        (_prefill_first_audio, round-4 TTFA path) must produce the exact
+        event stream of the split path: same tokens, bit-identical chunk
+        PCM, identical final audio. QWEN3TTS_NO_FUSED_TTFA forces the split
+        path for the comparison."""
+        from qwen3tts_tpu.tts import AudioChunkEvent
+
+        def run():
+            return list(
+                model.generate_stream(
+                    "Fusion parity", speaker="Aiden", max_tokens=8, seed=6,
+                    audio_chunk_frames=2,
+                )
+            )
+
+        fused = run()
+        monkeypatch.setenv("QWEN3TTS_NO_FUSED_TTFA", "1")
+        split = run()
+        assert [type(e).__name__ for e in fused] == [
+            type(e).__name__ for e in split
+        ]
+        for a, b in zip(fused, split):
+            if isinstance(a, AudioChunkEvent):
+                assert a.frame_offset == b.frame_offset
+                np.testing.assert_array_equal(a.audio, b.audio)
+            elif isinstance(a, TokenEvent):
+                assert a.token == b.token
+            elif isinstance(a, AudioEvent):
+                np.testing.assert_array_equal(a.audio, b.audio)
+        # the fused run actually takes the fused path: its first audio chunk
+        # exists and starts at frame 0 (ramped early emit)
+        chunks = [e for e in fused if isinstance(e, AudioChunkEvent)]
+        assert chunks and chunks[0].frame_offset == 0
+
     def test_generate_return_info(self, model):
         audio, info = model.generate(
             "Info check", speaker="Aiden", max_tokens=6, seed=5, return_info=True

@@ -1,0 +1,217 @@
+"""Stall-level accounting for the talker megakernel's weight stream.
+
+Round-3 state: the fused talker step measures 1.28 ms/frame at B=1 int8
+0.6B — ~440 MB of weights streamed per frame ≈ 340 GB/s effective against
+~819 GB/s HBM peak on v5e. "The kernel is weight-streaming bound" was
+asserted from A/Bs (dyn_int8 == wo_bf16; lps=2 lost) but never shown at
+the DMA level (round-3 verdict weak #4). This experiment measures the
+pieces directly:
+
+  full    the production kernel (ops/talker_kernel.py), fori_loop x N —
+          the number to explain.
+  dma4    a stripped kernel with the SAME grid + BlockSpecs + weight
+          operands but (almost) no compute: each grid step touches one
+          corner of each weight block and accumulates into the carried
+          [1, H] output. Pallas streams every blocked operand per grid
+          step regardless of how much the body reads, so this is the
+          pure pipelined HBM->VMEM weight-stream time for the production
+          operand layout (4 big + 8 small DMAs per step).
+  dma12   dma4 plus the 8 small scale/norm blocked operands — isolates
+          the per-DMA issue overhead of the small operands.
+  dma1    all four weight matrices flattened into ONE contiguous
+          [L, rows, 1024] int8 operand (one 15.7 MB DMA per grid step) —
+          the "merge the weight stream into fewer/larger DMAs" ceiling.
+
+Reading the results:
+  dma* ~= 440MB/819GB/s (~0.54 ms)  -> stream at speed-of-light; the
+      full-kernel gap is compute/DMA serialization inside the step.
+  dma4 >> dma1                      -> DMA granularity is the bound;
+      merging the weight operands is the fix.
+  dma4 ~= full                      -> the kernel IS the weight stream;
+      only fewer weight bytes (deeper quant) can cut it.
+
+Usage: python tools/exp_weight_stream.py [N_STEPS]   (default 280 = 10
+frames of 28 grid steps each... i.e. N fori_loop iterations of the whole
+step; each iteration streams all 28 layers)
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from qwen3tts_tpu.models import talker as tk
+from qwen3tts_tpu.ops.quant import quantize_decode_params_int8
+from qwen3tts_tpu.ops.talker_kernel import _wq, talker_decode_step
+from qwen3tts_tpu.utils import host_init as hi
+from __graft_entry__ import _flagship_06b
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+CACHE_LEN = 256
+OFFSET = 128  # fixed cache offset: KV stream = 1 block/layer (14 MB/frame)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _dma_kernel(n_big, n_small, H, *refs):
+    """Touch every blocked operand; carry a [1, H] accumulator."""
+    refs = list(refs)
+    w_refs = refs[: n_big + n_small]
+    x_ref, h_out_ref, h_scr = refs[n_big + n_small :]
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        h_scr[...] = x_ref[...]
+
+    acc = h_scr[...].astype(jnp.float32)
+    for w in w_refs:
+        # one sublane-tile read per operand: the block is already in VMEM
+        # (Pallas streamed it for this grid step); cost is negligible vs
+        # the DMA itself
+        tile = w[0, :1, :128].astype(jnp.float32)
+        acc = acc + jnp.sum(tile)
+    h_scr[...] = acc.astype(jnp.bfloat16)
+    h_out_ref[...] = h_scr[...]
+
+
+def run_dma_variant(name, ops_big, ops_small, L):
+    """ops_*: list of [L, r, c] arrays streamed one layer per grid step."""
+    H = 1024
+    blk = lambda a: pl.BlockSpec(
+        (1,) + a.shape[1:], lambda l: (l,) + (0,) * (len(a.shape) - 1)
+    )
+    kern = functools.partial(
+        _dma_kernel, len(ops_big), len(ops_small), H
+    )
+    call = pl.pallas_call(
+        kern,
+        grid=(L,),
+        in_specs=[blk(a) for a in ops_big + ops_small]
+        + [pl.BlockSpec((1, H), lambda l: (0, 0))],
+        out_specs=pl.BlockSpec((1, H), lambda l: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, H), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((1, H), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 2**20,
+        ),
+    )
+
+    @jax.jit
+    def loop(x, *ops):
+        def body(i, x):
+            return call(*ops, x)
+
+        return jax.lax.fori_loop(0, N, body, x)
+
+    x0 = jnp.zeros((1, H), jnp.bfloat16)
+    ops = ops_big + ops_small
+    y = loop(x0, *ops)
+    jax.block_until_ready(y)
+    t0 = time.time()
+    y = loop(x0, *ops)
+    jax.block_until_ready(y)
+    dt = (time.time() - t0) / N
+    mb = sum(a.size * a.dtype.itemsize for a in ops) / 2**20
+    log(
+        f"{name:8s}: {dt * 1e3:.3f} ms/step  ({mb:.0f} MB/step -> "
+        f"{mb / 1024 / dt:.0f} GB/s effective)"
+    )
+    return dt
+
+
+def main():
+    cfg = _flagship_06b()
+    t0 = time.time()
+    tp = dict(hi.device_init_talker_params(0, cfg))
+    tp["layers"] = tk.fuse_layer_projections(tp["layers"])
+    tp = quantize_decode_params_int8(tp, "codec_head")
+    jax.block_until_ready(tp["layers"]["input_layernorm"])
+    log(f"param init: {time.time() - t0:.1f}s")
+    layers = tp["layers"]
+    L, H = cfg.num_hidden_layers, cfg.hidden_size
+
+    qkv_w, qkv_s = _wq(layers["qkv_proj"])
+    o_w, o_s = _wq(layers["o_proj"])
+    gu_w, gu_s = _wq(layers["gate_up_proj"])
+    d_w, d_s = _wq(layers["down_proj"])
+    nrm = lambda w: w.astype(jnp.float32)[:, None, :]
+    big = [qkv_w, o_w, gu_w, d_w]
+    small = [
+        qkv_s, o_s, gu_s, d_s,
+        nrm(layers["input_layernorm"]), nrm(layers["post_attention_layernorm"]),
+        nrm(layers["q_norm"]), nrm(layers["k_norm"]),
+    ]
+
+    # ---- production kernel baseline ----
+    cache = tk.make_cache(cfg, 1, CACHE_LEN, jnp.bfloat16)
+    cos = jnp.ones((1, 1, cfg.head_dim), jnp.float32)
+    sin = jnp.zeros((1, 1, cfg.head_dim), jnp.float32)
+
+    @jax.jit
+    def full_loop(params, k_cache, v_cache, x):
+        def body(i, carry):
+            x, ksum = carry
+            h, k_new, v_new = talker_decode_step(
+                params, cfg, x, k_cache, v_cache, jnp.int32(OFFSET), cos, sin,
+            )
+            return h.astype(jnp.bfloat16), ksum + k_new[0, 0, 0, 0].astype(jnp.float32)
+
+        x, ksum = jax.lax.fori_loop(0, N, body, (x, jnp.float32(0)))
+        return x, ksum
+
+    x0 = jnp.zeros((1, 1, H), jnp.bfloat16)
+    t0 = time.time()
+    y = full_loop(tp, cache.k, cache.v, x0)
+    jax.block_until_ready(y)
+    log(f"full compile+first: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    y = full_loop(tp, cache.k, cache.v, x0)
+    jax.block_until_ready(y)
+    full_dt = (time.time() - t0) / N
+    wmb = sum(a.size * a.dtype.itemsize for a in big + small) / 2**20
+    log(
+        f"full    : {full_dt * 1e3:.3f} ms/step  ({wmb:.0f} MB weights -> "
+        f"{wmb / 1024 / full_dt:.0f} GB/s effective incl. compute)"
+    )
+
+    # ---- DMA-only variants ----
+    dma4 = run_dma_variant("dma4", big, [], L)
+    dma12 = run_dma_variant("dma12", big, small, L)
+
+    # one contiguous per-layer weight block: all four matrices reshaped to
+    # 1024 columns and stacked on rows (bytes identical; content layout
+    # irrelevant for DMA timing)
+    rows = sum(a.shape[1] * a.shape[2] // 1024 for a in big)
+    merged = jnp.concatenate(
+        [a.reshape(L, -1, 1024) for a in big], axis=1
+    )
+    assert merged.shape == (L, rows, 1024), merged.shape
+    dma1 = run_dma_variant("dma1", [merged], [], L)
+
+    log(
+        f"\nsummary: full {full_dt*1e3:.3f} | dma12 {dma12*1e3:.3f} | "
+        f"dma4 {dma4*1e3:.3f} | dma1 {dma1*1e3:.3f} ms/step"
+    )
+    log(
+        "interpretation: (full - dma12) = compute not hidden behind the "
+        "stream; (dma12 - dma4) = small-operand DMA overhead; "
+        "(dma4 - dma1) = weight-DMA granularity cost; dma1 vs "
+        f"{wmb/1024:.3f} GB / 819 GB/s = {wmb/1024/819*1e3:.3f} ms "
+        "speed-of-light."
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Regenerate the perf tables in README/COMPONENTS/SCALING from bench JSON.
+
+Round-3 verdict #8/#10: hand-maintained perf numbers drifted from driver
+evidence (COMPONENTS carried B=32 ~101k tok/s while BENCH_r03 measured
+127,981). This tool makes the driver's bench record the single source of
+truth: it reads the newest ``BENCH_r*.json`` (or an explicit path — also
+accepts a raw one-line bench.py stdout JSON) and rewrites every block
+bounded by
+
+    <!-- bench:table -->
+    ...
+    <!-- /bench:table -->
+
+in README.md, COMPONENTS.md and SCALING.md with a generated table. Prose
+around the markers is never touched. Run after every driver round:
+
+    python tools/update_perf_docs.py            # newest BENCH_r*.json
+    python tools/update_perf_docs.py out.json   # explicit record
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOCS = ("README.md", "COMPONENTS.md", "SCALING.md")
+BEGIN, END = "<!-- bench:table -->", "<!-- /bench:table -->"
+
+# scenario key (BENCH json) -> (label, formatter)
+_FMT = {
+    "long_decode_1.7b_512f": (
+        "1.7B Base long decode (512 frames, 4096-slot KV)",
+        lambda s: f"RTF **{s['rtf']}** ({s['gen_frames_s']} frames/s)",
+    ),
+    "voicedesign_12lang_1.7b": (
+        "1.7B VoiceDesign, 12 prompt variants",
+        lambda s: f"p50 RTF **{s['p50_rtf']}**, p95 {s['p95_rtf']}",
+    ),
+    "voicedesign_12lang": (
+        "VoiceDesign, 12 prompt variants (0.6B)",
+        lambda s: f"p50 RTF **{s['p50_rtf']}**, p95 {s['p95_rtf']}",
+    ),
+    "voice_clone_1.7b": (
+        "1.7B voice clone (3 s ref audio: encoder + ECAPA prep)",
+        lambda s: f"prep {s['prep_ms']} ms, RTF incl. prep **{s['rtf_incl_prep']}**",
+    ),
+    "voice_clone": (
+        "Voice clone prep (0.6B synthesis)",
+        lambda s: f"prep {s['prep_ms']} ms, RTF incl. prep **{s['rtf_incl_prep']}**",
+    ),
+    "int4_serving_0.6b": (
+        "0.6B int4 checkpoint on the serving default (requant int8 + token map)",
+        lambda s: f"RTF **{s['rtf']}** ({int(s['codec_tok_s'])} codec tok/s)",
+    ),
+    "int4_packed_0.6b": (
+        "0.6B int4 packed (opt-in low-memory mode)",
+        lambda s: f"RTF **{s['rtf']}** ({int(s['codec_tok_s'])} codec tok/s)",
+    ),
+    "batch32_int8": (
+        "B=32 batched serving (0.6B int8, lockstep)",
+        lambda s: f"**{int(s['tok_s']):,} codec tok/s** "
+        f"({s['frame_ms']} ms/frame, per-seq RTF {s['per_seq_rtf']})",
+    ),
+}
+
+
+def load_record(path: str | None):
+    if path is None:
+        cands = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+        if not cands:
+            sys.exit("no BENCH_r*.json found")
+        path = cands[-1]
+    with open(path) as f:
+        data = json.load(f)
+    rec = data.get("parsed", data)  # driver record or raw bench stdout line
+    if "value" not in rec:
+        sys.exit(f"{path}: no parsed bench record")
+    return rec, os.path.basename(path)
+
+
+def build_table(rec: dict, src: str) -> str:
+    rows = [
+        "| Workload (BASELINE.json) | Measured |",
+        "|---|---|",
+        f"| 0.6B CustomVoice headline ({rec['metric']}) | RTF **{rec['value']}** "
+        f"= {rec['vs_baseline']}x the reference's 0.70 |",
+        f"| TTFT (prefill + first frame) | **{rec['ttft_ms']} ms** |",
+        f"| TTFA (first streamed PCM, fused first-audio dispatch) | "
+        f"**{rec['ttfa_ms']} ms** |",
+    ]
+    for key, s in rec.get("scenarios", {}).items():
+        label, fmt = _FMT.get(key, (key, lambda s: json.dumps(s)))
+        rows.append(f"| {label} | {fmt(s)} |")
+    skipped = rec.get("skipped")
+    note = (
+        f"\n\nScenarios skipped in this record: "
+        + "; ".join(f"{s['scenario']} ({s['reason']})" for s in skipped)
+        if skipped
+        else ""
+    )
+    return (
+        f"Driver-measured numbers from `{src}` (one v5e chip, synthetic "
+        "weights at exact checkpoint shapes, EOS suppressed for fixed frame "
+        "counts; regenerate with `python tools/update_perf_docs.py`):\n\n"
+        + "\n".join(rows)
+        + note
+    )
+
+
+def main(argv=None):
+    args = (argv if argv is not None else sys.argv[1:])
+    rec, src = load_record(args[0] if args else None)
+    table = build_table(rec, src)
+    pat = re.compile(re.escape(BEGIN) + r".*?" + re.escape(END), re.DOTALL)
+    for doc in DOCS:
+        p = os.path.join(ROOT, doc)
+        text = open(p).read()
+        if BEGIN not in text:
+            print(f"{doc}: no {BEGIN} marker, skipped")
+            continue
+        new = pat.sub(BEGIN + "\n" + table + "\n" + END, text)
+        if new != text:
+            open(p, "w").write(new)
+            print(f"{doc}: bench table regenerated from {src}")
+        else:
+            print(f"{doc}: already current")
+
+
+if __name__ == "__main__":
+    main()
