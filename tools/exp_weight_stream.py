@@ -33,6 +33,41 @@ Reading the results:
 Usage: python tools/exp_weight_stream.py [N_STEPS]   (default 280 = 10
 frames of 28 grid steps each... i.e. N fori_loop iterations of the whole
 step; each iteration streams all 28 layers)
+
+MEASURED 2026-08-19 (one v5e, N=100, OFFSET=128):
+
+    full    : 1.101 ms/step  (422 MB weights -> 374 GB/s incl. compute)
+    dma4    : 0.823 ms/step  (420 MB/step -> 499 GB/s)
+    dma12   : 0.840 ms/step  (422 MB/step -> 490 GB/s)
+    dma1    : 0.817 ms/step  (420 MB/step -> 502 GB/s)
+
+Reading per the key above:
+  * dma1 == dma4 == dma12 (within 3%): DMA granularity is NOT the bound.
+    Merging the four weight operands into one contiguous 15.7 MB block
+    per layer buys nothing; the 8 small scale/norm operands cost ~17 us
+    total. The round-3 "merge the weight stream" candidate is refuted.
+  * The stream runs at ~500 GB/s, not the 819 GB/s nominal peak. An
+    independent XLA-pipeline probe (tools/exp_hbm_peak.py: strided 256 MB
+    reductions in a fori_loop, host-readback timed) sustains only
+    ~400 GB/s on this chip — the Pallas pipeline already beats the
+    platform's own reduction pipeline; ~500 GB/s IS the achievable
+    sustained read rate here, so "819 GB/s" was never the right ceiling.
+  * full - dma12 = 0.26 ms of compute not hidden behind the stream. At
+    B=1 each 128x128 weight tile enters the MXU for ONE activation row;
+    the systolic-array load time alone is ~960 tiles/layer / 4 MXUs x
+    128 cycles @940 MHz ~= 33 us/layer ~= 0.92 ms/frame — the kernel is
+    MXU weight-tile-load occupied, with the HBM stream (29 us/layer)
+    fully hidden behind it. That explains every earlier null result:
+    dyn_int8 == wo_bf16 (tile count unchanged), lps=2 lost (DMA wasn't
+    exposed), wide attention lost (same), granularity merge null (this
+    experiment).
+
+Conclusion: the 1.28 ms production talker step (this probe's 1.10 ms +
+in-kernel sampling + production cache offsets) is at the hardware floor
+for int8 weights at B=1 — bounded by MXU tile-load serialization, which
+only fewer weight bytes-as-tiles (a smaller model) or more activation
+rows per tile (batching, which the serving path already exploits) can
+cut. Single-stream RTF ~0.0335 is the measured single-chip bound.
 """
 
 from __future__ import annotations
