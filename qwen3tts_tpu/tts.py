@@ -17,6 +17,7 @@ bucketed shapes; the host never syncs inside the decode loop.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Iterator
@@ -38,7 +39,19 @@ CHAT_ASSISTANT = "<|im_start|>assistant\n{}<|im_end|>\n<|im_start|>assistant\n"
 CHAT_ASSISTANT_CLOSED = "<|im_start|>assistant\n{}<|im_end|>\n"
 CHAT_USER = "<|im_start|>user\n{}<|im_end|>\n"
 
-GEN_BUCKETS = (128, 256, 512, 1024, 2048)
+# Frame-count buckets for max_frames caps AND the fused vocoder's
+# lax.switch ladder. 72/96 added in round 4: the headline short-utterance
+# shape (66 frames under a 128 cap) paid a 128-frame vocoder decode — ~48%
+# padding waste on the ~36 ms in-program vocoder stage; the 72 bucket cuts
+# that to 9% with zero numerics change (valid-frames masking makes bucketed
+# decode prefix-exact — tests/test_generate.py::TestFusedAudioBuckets).
+# Override (experiments): QWEN3TTS_GEN_BUCKETS="128,256,..."
+GEN_BUCKETS = tuple(
+    int(b)
+    for b in os.environ.get(
+        "QWEN3TTS_GEN_BUCKETS", "72,96,128,256,512,1024,2048"
+    ).split(",")
+)
 
 
 class Qwen3TTSError(Exception):
