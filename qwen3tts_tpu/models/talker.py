@@ -553,8 +553,12 @@ def _scatter_append_batched(cache, cfg: TalkerConfig, k_new, v_new, offsets):
     place inside the decode ``while_loop``, whereas the batched
     ``.at[ll, bb, hh, off_b].set()`` scatter materialized a full cache
     copy every frame — measured 1.03 ms/frame at B=32 on a
-    [28, 32, 8, 256, 128] bf16 cache (~19% of the whole frame,
-    tools/microbench_batch.py `scatter`, 2026-08-18)."""
+    [28, 32, 8, 256, 128] bf16 cache (tools/microbench_batch.py
+    `scatter`, 2026-08-18). Benched alone in a fresh process the chain
+    itself is free (~0.002 ms/frame, 2026-08-20) — earlier 0.5-1.0 ms
+    readings of it were a measurement-order artifact; see
+    tools/exp_kv_append.py for the diagnosis and the (no-win) Pallas
+    tile-RMW alternative."""
     B = k_new.shape[1]
 
     def dus_chain(buf, rows):

@@ -14,6 +14,17 @@ into its serial components, each as its own fused 66-iteration device loop
   next     — _next_input_batch glue
 
 Usage: python tools/microbench_batch.py [B] [talker talker_s scatter headsmp cpk next]
+
+MEASUREMENT-ORDER WARNING (2026-08-20): the `scatter` case is order- and
+process-state-dependent. Benched FIRST in a fresh process it measures
+~0.002 ms/frame (the DUS chain aliases in place and the writes are
+57 KB); benched AFTER the talker_s loop has run in the same process it
+measures ~0.5 ms/frame. The production decode loop donates its carry, so
+the in-place number is the real one — earlier frame-split claims that
+attributed 0.5-1.0 ms to the scatter (r3 ROADMAP) were this artifact.
+Same family as the carry-init artifact below and tools/exp_dus_cost3.py;
+tools/exp_kv_append.py records the full diagnosis and the (no-win)
+Pallas RMW alternative. To trust a `scatter` number, run it alone.
 """
 
 from __future__ import annotations
