@@ -118,8 +118,15 @@ def _cp_kernel(
         codes      VMEM [B, 128] int32 (lanes 0..14 = codes)
         esum       VMEM [B, H] f32;  logits VMEM [16, B, V] f32
       scratch:
-        kvf        VMEM [L, 2*B*NKV*SLOTS, D] bf16 — combined KV cache:
-                   rows [0, BNS) = K at (b*NKV+h)*SLOTS+t, rest = V
+        kvf        VMEM [L, SLOTS, 2*B*NKV, D] bf16 — combined KV cache,
+                   SLOT-MAJOR: within slot t, rows [0, B*NKV) = K at
+                   b*NKV+h, rows [B*NKV, 2*B*NKV) = V. Slot-major makes
+                   the per-position append ONE [1, 2*B*NKV, D] dynamic
+                   store on the untiled SLOTS dim — the earlier row-major
+                   layout ((b*NKV+h)*SLOTS+t) needed a masked rewrite of
+                   the WHOLE buffer per layer-position (read+select+write
+                   ≈ 6 MB at B=32 × 75 layer-positions ≈ 450 MB of VPU
+                   traffic per frame; ~45× more than slot-major)
         hbuf       VMEM [3, H, V] int8;  ebuf VMEM [3, V, H] bf16
         hsem, esem DMA semaphores (3,) each
     """
@@ -142,10 +149,8 @@ def _cp_kernel(
         shapes[k]
         for k in ("H", "D", "NQ", "NKV", "I", "V", "L", "NCB", "SLOTS", "B")
     )
-    KVROWS = B * NKV * SLOTS  # flat cache rows: (b, h, t) -> (b*NKV+h)*SLOTS+t
+    BNKV = B * NKV  # K (or V) rows per slot in the slot-major cache
     scale = D**-0.5
-
-    KV2 = 2 * KVROWS  # combined cache rows: [0,KVROWS) = K, [KVROWS,2K) = V
 
     if temperature > 0:
         pltpu.prng_seed(seed_ref[0], seed_ref[1])
@@ -185,13 +190,11 @@ def _cp_kernel(
     qh_i = jax.lax.broadcasted_iota(jnp.int32, (SG * NQ, GROWS), 0)
     rr_i = jax.lax.broadcasted_iota(jnp.int32, (SG * NQ, GROWS), 1)
     group = NQ // NKV
-    static_valid = ((rr_i // (NKV * SLOTS)) == (qh_i // NQ)) & (
-        ((rr_i % (NKV * SLOTS)) // SLOTS) == ((qh_i % NQ) // group)
+    # slot-major score columns: col r = t*(SG*NKV) + s_local*NKV + h
+    static_valid = (((rr_i % (SG * NKV)) // NKV) == (qh_i // NQ)) & (
+        (rr_i % NKV) == ((qh_i % NQ) // group)
     )  # group-block-diagonal + GQA head-match (position-independent)
-    slot_of = rr_i % SLOTS  # cache slot of each score column
-    rows2 = (
-        jax.lax.broadcasted_iota(jnp.int32, (KV2, D), 0) % SLOTS
-    )  # slot of each combined-KV cache row
+    slot_of = rr_i // (SG * NKV)  # cache slot of each score column
     nh_i = jax.lax.broadcasted_iota(jnp.int32, (1, NQ + NKV, D), 1)
 
     def rms(x, w_row):  # x [R, C] bf16, w_row [1, C] f32 -> bf16
@@ -225,7 +228,6 @@ def _cp_kernel(
         cos_row = cos_ref[pl.ds(p, 1), :].astype(jnp.bfloat16)  # [1, D]
         sin_row = sin_ref[pl.ds(p, 1), :].astype(jnp.bfloat16)
         valid_p = static_valid & (slot_of <= p)  # shared by all L layers
-        sel = rows2 == p  # combined-KV write mask, shared by all L layers
         h = x
         for l in range(L):
             xn = rms(h, iln_ref[l])
@@ -252,15 +254,11 @@ def _cp_kernel(
             q = qk[:, :NQ, :].reshape(B * NQ, D)
             k = qk[:, NQ:, :].reshape(B * NKV, D)
 
-            # append k AND v at slot p with ONE masked full-buffer update
-            # (Mosaic rejects bf16 dynamic-sublane stores); combined rows:
-            # [0, KVROWS) hold K at (b*NKV+h)*SLOTS+t, [KVROWS, 2K) hold V
+            # append k AND v at slot p: ONE [1, 2*B*NKV, D] dynamic store
+            # on the untiled SLOTS dim (slot-major layout; Mosaic allows
+            # dynamic indexing there, unlike bf16 dynamic-sublane stores)
             if ablate != "nokvwrite":
-                kv_b = jnp.broadcast_to(
-                    jnp.concatenate([k, v], axis=0)[:, None, :],
-                    (2 * B * NKV, SLOTS, D),
-                ).reshape(KV2, D)
-                kvf_ref[l] = jnp.where(sel, kv_b, kvf_ref[l])
+                kvf_ref[l, pl.ds(p, 1)] = jnp.concatenate([k, v], axis=0)[None]
 
             if ablate == "noattn":
                 h = h + mv(q.reshape(B, NQ * D), wo_ref, l, so_ref)
@@ -282,8 +280,14 @@ def _cp_kernel(
             attn_parts = []
             for gi in range(NGRP):
                 qg = q[gi * SG * NQ : (gi + 1) * SG * NQ]
-                kf = kvf_ref[l, gi * GROWS : (gi + 1) * GROWS]
-                vf = kvf_ref[l, KVROWS + gi * GROWS : KVROWS + (gi + 1) * GROWS]
+                # slot-major group reads: [SLOTS, SG*NKV, D] -> [GROWS, D]
+                # (leading-dims merge, layout-preserving)
+                kf = kvf_ref[
+                    l, :, gi * SG * NKV : (gi + 1) * SG * NKV, :
+                ].reshape(GROWS, D)
+                vf = kvf_ref[
+                    l, :, BNKV + gi * SG * NKV : BNKV + (gi + 1) * SG * NKV, :
+                ].reshape(GROWS, D)
                 s = jax.lax.dot_general(
                     qg, kf, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -538,7 +542,7 @@ def _call(
             in_specs=[vmem] * n_vmem_in + [any_, any_],
             out_specs=[vmem, vmem, vmem],
             scratch_shapes=[
-                pltpu.VMEM((L, 2 * B * 128, D), jnp.bfloat16),
+                pltpu.VMEM((L, SLOTS, 2 * B * s["NKV"], D), jnp.bfloat16),
                 pltpu.VMEM((3, H, V), jnp.int8),
                 pltpu.VMEM((3, V, H), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((3,)),
