@@ -18,28 +18,34 @@ import time
 import numpy as np
 
 
-# 20 multilingual texts for --profile (reference main.swift:172-198)
+# The reference's 20 profiling fixtures, verbatim text + per-text language
+# tag (reference main.swift:172-198, `profilingTexts`).
 PROFILING_TEXTS = [
-    "The quick brown fox jumps over the lazy dog.",
-    "Artificial intelligence is transforming the world around us.",
-    "She sells seashells by the seashore on sunny summer days.",
-    "Technology continues to evolve at an unprecedented pace.",
-    "The weather today is absolutely beautiful and refreshing.",
-    "今天天气真不错，我们一起去公园散步吧。",
-    "人工智能正在改变我们的生活方式。",
-    "这本书的内容非常有趣，值得一读。",
-    "早上好，希望你今天过得愉快。",
-    "科技的发展让世界变得越来越小。",
-    "Guten Morgen, wie geht es Ihnen heute?",
-    "La vie est belle quand on sait l'apprécier.",
-    "El sol brilla intensamente en el cielo azul.",
-    "La tecnologia sta cambiando il nostro modo di vivere.",
-    "おはようございます、今日もいい天気ですね。",
-    "안녕하세요, 오늘 날씨가 정말 좋네요.",
-    "Доброе утро, как у вас дела сегодня?",
-    "O tempo está maravilhoso para um passeio no parque.",
-    "Machine learning models require careful evaluation.",
-    "Speech synthesis quality has improved dramatically.",
+    # English — various styles and lengths
+    ("Hello, my name is Aiden. Nice to meet you.", "en"),
+    ("The quick brown fox jumps over the lazy dog.", "en"),
+    ("Please remember to take your medication at eight o'clock tonight.", "en"),
+    ("Wow, that's absolutely incredible! I can't believe it!", "en"),
+    ("The weather forecast shows heavy rain tomorrow with temperatures dropping to forty degrees.", "en"),
+    ("One, two, three, four, five, six, seven, eight, nine, ten.", "en"),
+    ("I'm sorry to hear that. Is there anything I can do to help?", "en"),
+    ("According to the latest research, artificial intelligence is transforming healthcare.", "en"),
+    ("Good morning! How did you sleep last night?", "en"),
+    ("The restaurant is located at three hundred and twenty five Main Street.", "en"),
+    # Chinese — various styles
+    ("你好，我是你的智能助手，有什么可以帮助你的吗？", "chinese"),
+    ("今天天气真不错，适合出去散步。", "chinese"),
+    ("请注意，前方路口即将变为红灯，请减速慢行。", "chinese"),
+    ("根据最新的研究报告，人工智能技术正在快速发展。", "chinese"),
+    ("一二三四五六七八九十，百千万。", "chinese"),
+    # Japanese
+    ("こんにちは、今日はいい天気ですね。", "japanese"),
+    ("東京の桜がとても綺麗です。", "japanese"),
+    # Korean
+    ("안녕하세요, 만나서 반갑습니다.", "korean"),
+    # More English with different patterns
+    ("Shh, be very quiet. The baby is sleeping.", "en"),
+    ("BREAKING NEWS: Scientists discover new species in the deep ocean!", "en"),
 ]
 
 
@@ -137,6 +143,11 @@ def run_generation(args, model) -> int:
     print(f"Generation time: {gen_time:.2f}s")
     print(f"RTF (gen_time/audio_duration, lower is better): {rtf:.3f}")
     print(f"Saved to: {args.output}")
+    # reference main.swift:294-313: tokens/s + peak memory after a run
+    info = model.last_info
+    if info is not None:
+        print(f"Generation tokens/s: {info.tokens_per_second:.2f}")
+        print(f"Peak memory: {info.peak_memory_usage:.2f} GB")
     return 0
 
 
@@ -150,13 +161,16 @@ def run_profiling(args, model) -> int:
     )
     model.activation_profiler = profiler
     total_t0 = time.time()
-    for i, text in enumerate(PROFILING_TEXTS):
-        print(f"[{i + 1}/{len(PROFILING_TEXTS)}] {text[:50]}...")
+    # per-text language tag, as the reference's profiling loop passes
+    # (main.swift:347-359)
+    for i, (text, language) in enumerate(PROFILING_TEXTS):
+        print(f"[{i + 1}/{len(PROFILING_TEXTS)}] \"{text[:50]}...\" (lang={language})")
         try:
-            model.generate(
+            audio = model.generate(
                 text,
                 speaker=args.speaker,
                 instruct=args.instruct,
+                language=language,
                 temperature=args.temperature,
                 top_k=args.top_k,
                 max_tokens=args.max_tokens,
@@ -165,10 +179,16 @@ def run_profiling(args, model) -> int:
         except Exception as e:  # keep profiling robust across languages
             print(f"  skipped: {e}")
             continue
+        audio = np.asarray(audio)
+        print(f"    -> {audio.shape[0] / model.sample_rate:.1f}s audio, "
+              f"{audio.shape[0]} samples")
         profiler.flush_run()
     print(f"Profiling took {time.time() - total_t0:.1f}s")
     profiler.print_summary()
     profiler.save_json(args.profile_output)
+    info = model.last_info
+    if info is not None:
+        print(f"Peak memory: {info.peak_memory_usage:.2f} GB")
     return 0
 
 

@@ -64,6 +64,54 @@ class TestCLI:
         stdout = capsys.readouterr().out
         assert "RTF" in stdout and "Generation time" in stdout
 
+    def test_generation_prints_tokens_s_and_peak_memory(
+        self, ckpt_dir, tmp_path, monkeypatch, capsys
+    ):
+        """Reference prints generation tokens/s and peak memory after a run
+        (main.swift:294-313); we source both from model.last_info."""
+        self._patch_tokenizer(monkeypatch)
+        out = str(tmp_path / "o.wav")
+        rc = cli.main(
+            ["--model", ckpt_dir, "--text", "Hello world", "--speaker", "Aiden",
+             "--output", out, "--max-tokens", "6", "--temperature", "0"]
+        )
+        assert rc == 0
+        stdout = capsys.readouterr().out
+        assert "Generation tokens/s:" in stdout
+        assert "Peak memory:" in stdout
+
+    def test_profiling_fixture_matches_reference(self):
+        """The 20 profiling texts carry the reference's per-text language
+        tags (main.swift:172-198): (text, language) pairs, 10 en + 5
+        chinese + 2 japanese + 1 korean + 2 en."""
+        assert len(cli.PROFILING_TEXTS) == 20
+        langs = [lang for _, lang in cli.PROFILING_TEXTS]
+        assert langs.count("en") == 12
+        assert langs.count("chinese") == 5
+        assert langs.count("japanese") == 2
+        assert langs.count("korean") == 1
+        assert cli.PROFILING_TEXTS[0] == (
+            "Hello, my name is Aiden. Nice to meet you.", "en")
+        assert cli.PROFILING_TEXTS[10][1] == "chinese"
+        assert cli.PROFILING_TEXTS[-1] == (
+            "BREAKING NEWS: Scientists discover new species in the deep ocean!",
+            "en")
+
+    def test_profiling_loop_passes_language(self, ckpt_dir, monkeypatch, capsys):
+        """--profile passes each fixture's language tag to generate
+        (main.swift:347-359)."""
+        self._patch_tokenizer(monkeypatch)
+        seen = []
+
+        def fake_generate(self, text, **kw):
+            seen.append(kw.get("language"))
+            return np.zeros(1920, np.float32)
+
+        monkeypatch.setattr(Qwen3TTSModel, "generate", fake_generate)
+        rc = cli.main(["--model", ckpt_dir, "--profile", "--speaker", "Aiden"])
+        assert rc == 0
+        assert seen == [lang for _, lang in cli.PROFILING_TEXTS]
+
     def test_missing_text_errors(self, ckpt_dir, monkeypatch, capsys):
         self._patch_tokenizer(monkeypatch)
         rc = cli.main(["--model", ckpt_dir, "--speaker", "Aiden"])
