@@ -1752,7 +1752,9 @@ class Qwen3TTSModel:
         )
         yield AudioEvent(self._decode_audio(codes_final, n_final))
 
-    def generate_stream_async(self, *args, **kwargs) -> "AsyncEventStream":
+    def generate_stream_async(
+        self, *args, max_pending: int = 64, **kwargs
+    ) -> "AsyncEventStream":
         """Non-blocking streaming: generation runs on a background thread.
 
         The reference's ``generateStream`` detaches generation onto its own
@@ -1762,10 +1764,17 @@ class Qwen3TTSModel:
         iterates. This wrapper restores the reference's concurrency: a
         daemon thread drives the generator and queues events, so they
         accumulate while the caller does other work. Same arguments and
-        event sequence as ``generate_stream``. Call ``.close()`` (or use as
-        a context manager) to abandon a stream early.
+        event sequence as ``generate_stream``. The queue is bounded at
+        ``max_pending`` events: a consumer that stops reading pauses
+        generation (backpressure) instead of accumulating a whole
+        utterance of PCM in host memory. Call ``.close()`` (or use as a
+        context manager) to abandon a stream early — the underlying
+        generator is closed on the producer thread, so no further device
+        chunks are dispatched.
         """
-        return AsyncEventStream(self.generate_stream(*args, **kwargs))
+        return AsyncEventStream(
+            self.generate_stream(*args, **kwargs), maxsize=max_pending
+        )
 
     # ------------------------------------------------------------------
     # Speaker embedding extraction (reference Qwen3.swift:222-249)
@@ -1791,33 +1800,67 @@ class AsyncEventStream:
     """Iterator over events produced by a background generation thread.
 
     Produced by :meth:`Qwen3TTSModel.generate_stream_async`. Events queue
-    up as the device produces them (unbounded queue — token events are a
-    few bytes and PCM chunks are bounded by utterance length), so the
-    consumer can lag or sleep without stalling generation. Exceptions from
-    the generation thread re-raise on the consumer at the point of
-    iteration. ``pending()`` reports how many events are queued.
+    up as the device produces them, bounded at ``maxsize``: when the
+    consumer lags ``maxsize`` events behind, the producer blocks before
+    advancing the generator, so a stalled client pauses device work
+    instead of accumulating a whole utterance of PCM per connection.
+    Exceptions from the generation thread re-raise on the consumer at the
+    point of iteration. ``pending()`` reports how many events are queued.
+    ``close()`` unblocks the producer and closes the underlying generator
+    on the producer thread (GeneratorExit at its current yield point), so
+    an abandoned stream stops issuing device dispatches within one event.
     """
 
     _SENTINEL = object()
 
-    def __init__(self, gen):
+    def __init__(self, gen, maxsize: int = 64):
         import queue
         import threading
 
-        self._q: "queue.Queue" = queue.Queue()
+        self._queue_mod = queue
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, maxsize))
         self._stop = threading.Event()
         self._exc: BaseException | None = None
+
+        def _put_or_stop(ev) -> bool:
+            """Blocking put with close()-wakeup; False if the stream closed."""
+            while not self._stop.is_set():
+                try:
+                    self._q.put(ev, timeout=0.05)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def run():
             try:
                 for ev in gen:
-                    if self._stop.is_set():
+                    if not _put_or_stop(ev):
                         break
-                    self._q.put(ev)
             except BaseException as ex:  # re-raised on the consumer side
                 self._exc = ex
             finally:
-                self._q.put(self._SENTINEL)
+                # Close the generator HERE, on the producer thread: this
+                # raises GeneratorExit at its current yield, so an
+                # abandoned generate_stream stops dispatching device work
+                # now rather than at garbage collection.
+                try:
+                    gen.close()
+                except Exception:
+                    pass
+                # The sentinel must always land so a racing consumer
+                # terminates; after close() the consumer may be gone, so
+                # make room rather than block forever.
+                while True:
+                    try:
+                        self._q.put(self._SENTINEL, timeout=0.05)
+                        break
+                    except queue.Full:
+                        if self._stop.is_set():
+                            try:
+                                self._q.get_nowait()
+                            except queue.Empty:
+                                pass
 
         self._thread = threading.Thread(
             target=run, name="qwen3tts-stream", daemon=True
@@ -1841,7 +1884,7 @@ class AsyncEventStream:
         return self._q.qsize()
 
     def close(self):
-        """Stop consuming; the producer thread exits after its next event."""
+        """Abandon the stream: wake a blocked producer and stop generation."""
         self._stop.set()
 
     def __enter__(self):

@@ -327,31 +327,101 @@ def test_generate_batch_continuous_public(model):
         assert a.ndim == 1 and np.isfinite(a).all()
     assert any(a.shape[0] > 0 for a in outs)
 
-    def test_stream_async_produces_while_caller_sleeps(self, model):
-        """generate_stream_async events accumulate WITHOUT the caller
-        iterating — generation runs on its own thread (reference
-        Qwen3+Streaming.swift:19-28 detached-task semantics)."""
-        import time
+def test_stream_async_produces_while_caller_sleeps(model):
+    """generate_stream_async events accumulate WITHOUT the caller
+    iterating — generation runs on its own thread (reference
+    Qwen3+Streaming.swift:19-28 detached-task semantics)."""
+    import time
 
-        stream = model.generate_stream_async(
-            "Async stream check", speaker="Aiden", max_tokens=6, seed=2
-        )
-        with stream:
-            deadline = time.time() + 120
-            while stream.pending() == 0 and time.time() < deadline:
-                time.sleep(0.05)  # the caller does no iteration here
-            assert stream.pending() > 0, "no events produced while caller slept"
-            events = list(stream)
-        kinds = [type(e).__name__ for e in events]
-        assert kinds[-2:] == ["InfoEvent", "AudioEvent"]
-        assert all(k == "TokenEvent" for k in kinds[:-2])
+    stream = model.generate_stream_async(
+        "Async stream check", speaker="Aiden", max_tokens=6, seed=2
+    )
+    with stream:
+        deadline = time.time() + 120
+        while stream.pending() == 0 and time.time() < deadline:
+            time.sleep(0.05)  # the caller does no iteration here
+        assert stream.pending() > 0, "no events produced while caller slept"
+        events = list(stream)
+    kinds = [type(e).__name__ for e in events]
+    assert kinds[-2:] == ["InfoEvent", "AudioEvent"]
+    assert all(k == "TokenEvent" for k in kinds[:-2])
 
-    def test_stream_async_propagates_errors(self, model):
-        from qwen3tts_tpu.tts import AsyncEventStream
 
-        def boom():
-            raise Qwen3TTSError("boom")
-            yield  # pragma: no cover — makes this a generator
+def test_stream_async_propagates_errors(model):
+    from qwen3tts_tpu.tts import AsyncEventStream
 
-        with pytest.raises(Qwen3TTSError, match="boom"):
-            list(AsyncEventStream(boom()))
+    def boom():
+        raise Qwen3TTSError("boom")
+        yield  # pragma: no cover — makes this a generator
+
+    with pytest.raises(Qwen3TTSError, match="boom"):
+        list(AsyncEventStream(boom()))
+
+
+def test_stream_async_bounded_queue_backpressure():
+    """A consumer that stops reading caps queue growth at maxsize and
+    blocks the producer BEFORE it advances the generator again — a
+    stalled client pauses device work instead of buffering the whole
+    utterance (round-4 verdict weak #7)."""
+    import time
+
+    from qwen3tts_tpu.tts import AsyncEventStream
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    stream = AsyncEventStream(gen(), maxsize=8)
+    deadline = time.time() + 10
+    while stream.pending() < 8 and time.time() < deadline:
+        time.sleep(0.01)
+    time.sleep(0.3)  # give a (buggy) unbounded producer time to run ahead
+    assert stream.pending() == 8
+    # producer is blocked at the put for item 9: 8 queued + 1 in flight
+    assert len(produced) <= 9
+    # draining lets it continue
+    for _ in range(4):
+        next(stream)
+    deadline = time.time() + 10
+    while stream.pending() < 8 and time.time() < deadline:
+        time.sleep(0.01)
+    assert stream.pending() == 8
+    stream.close()
+    stream._thread.join(timeout=10)
+    assert not stream._thread.is_alive()
+
+
+def test_stream_async_close_stops_generator():
+    """close() closes the underlying generator on the producer thread
+    (GeneratorExit at its yield) — an abandoned stream stops issuing
+    device dispatches within one event (round-4 verdict weak #7)."""
+    import time
+
+    from qwen3tts_tpu.tts import AsyncEventStream
+
+    state = {"dispatches": 0, "exited": False}
+
+    def gen():
+        try:
+            for i in range(1000):
+                state["dispatches"] += 1  # stands in for a generate_chunk call
+                yield i
+        except GeneratorExit:
+            state["exited"] = True
+            raise
+
+    stream = AsyncEventStream(gen(), maxsize=4)
+    next(stream)
+    next(stream)
+    stream.close()
+    stream._thread.join(timeout=10)
+    assert not stream._thread.is_alive()
+    assert state["exited"], "generator was not closed on the producer thread"
+    high_water = state["dispatches"]
+    # bounded by consumed (2) + queue (4) + one in flight
+    assert high_water <= 7
+    time.sleep(0.2)
+    assert state["dispatches"] == high_water, "dispatches continued after close"
