@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CodePredictorConfig, TalkerConfig
-from ..ops.sampling import build_suppress_mask, sample_token_inner
+from ..ops.sampling import build_suppress_mask, sample_token_inner, sample_token_vec
 from . import code_predictor as cp
 from . import talker as tk
 
@@ -66,11 +66,27 @@ def _use_talker_sample_kernel_batch(talker_params, talker_cfg, sampling, B) -> b
     ) and step_supported(talker_params, talker_cfg, batch=B)
 
 
-def _sample_batch(key, logits, sampling, seen, suppress_mask, eos_id):
+def _sample_batch(key, logits, sampling, seen, suppress_mask, eos_id,
+                  samp_vec=None):
     """Batched sampler: thin wrapper over the (batch-general) single-path
-    sampler so the two paths can never diverge. logits [B,V] -> tokens [B]."""
+    sampler so the two paths can never diverge. logits [B,V] -> tokens [B].
+    ``samp_vec`` ([B, 4]: temperature, top_k, top_p, repetition_penalty)
+    switches to the per-row sampler (sampling.per_request mode)."""
     if sampling.forbid_eos:
         suppress_mask = suppress_mask.at[eos_id].set(True)
+    if samp_vec is not None:
+        return sample_token_vec(
+            key,
+            logits,
+            temperature=samp_vec[:, 0],
+            top_k=samp_vec[:, 1].astype(jnp.int32),
+            top_p=samp_vec[:, 2],
+            repetition_penalty=samp_vec[:, 3],
+            seen=seen,
+            suppress_mask=suppress_mask,
+            eos_token_id=None if sampling.forbid_eos else eos_id,
+            ref_exact_top_p=sampling.ref_exact_top_p,
+        )
     return sample_token_inner(
         key,
         logits,
@@ -87,7 +103,7 @@ def _sample_batch(key, logits, sampling, seen, suppress_mask, eos_id):
 
 def _frame_batch(
     talker_params, cp_params, talker_cfg, cp_cfg, sampling, suppress_mask,
-    hidden_last, logits_last, seen, key, code0=None, k_cp=None,
+    hidden_last, logits_last, seen, key, code0=None, k_cp=None, samp_vec=None,
 ):
     """Sample codebook 0 for every sequence + batched code-predictor frame.
 
@@ -101,10 +117,16 @@ def _frame_batch(
     from .generate import _cpk_mode, _use_cp_kernel
 
     eos_id = talker_cfg.codec_eos_token_id
+    if sampling.per_request and samp_vec is None:
+        raise ValueError(
+            "sampling.per_request requires a samp_vec [B, 4] argument "
+            "(temperature, top_k, top_p, repetition_penalty per slot)"
+        )
     if code0 is None:
         key, k_tok, k_cp = jax.random.split(key, 3)
         code0 = _sample_batch(
-            k_tok, logits_last, sampling, seen, suppress_mask, eos_id
+            k_tok, logits_last, sampling, seen, suppress_mask, eos_id,
+            samp_vec=samp_vec if sampling.per_request else None,
         )
     B = code0.shape[0]
     seen = seen.at[jnp.arange(B), code0].set(True)
@@ -128,6 +150,7 @@ def _frame_batch(
         code0_cp, k_cp,
         temperature=sampling.temperature, top_k=sampling.top_k, top_p=sampling.top_p,
         ref_exact_top_p=sampling.ref_exact_top_p,
+        samp_vec=samp_vec if sampling.per_request else None,
     )
     return code0, rest, is_eos, seen, key, None
 
@@ -184,6 +207,7 @@ def prefill_start_batch(
     cache: tk.KVCache,
     max_frames: int,
     key: jax.Array,
+    samp_vec: jnp.ndarray | None = None,  # [B, 4] (sampling.per_request)
 ) -> BatchCarry:
     B = prefill_embeds.shape[0]
     vocab = talker_cfg.vocab_size
@@ -199,7 +223,7 @@ def prefill_start_batch(
 
     code0, rest, is_eos, seen, key, codec_sum = _frame_batch(
         talker_params, cp_params, talker_cfg, cp_cfg, sampling, suppress_mask,
-        last, logits_last, jnp.zeros((B, vocab), bool), key,
+        last, logits_last, jnp.zeros((B, vocab), bool), key, samp_vec=samp_vec,
     )
     codes = jnp.zeros((B, max_frames, talker_cfg.num_code_groups), jnp.int32)
     tokens = jnp.zeros((B, max_frames), jnp.int32)
@@ -242,6 +266,7 @@ def generate_chunk_batch(
     tts_pad_embed: jnp.ndarray,
     max_steps: jnp.ndarray,  # [B] per-sequence caps
     until_step: jnp.ndarray,  # scalar: lockstep bound for this chunk
+    samp_vec: jnp.ndarray | None = None,  # [B, 4] (sampling.per_request)
 ) -> BatchCarry:
     suppress_mask = build_suppress_mask(
         talker_cfg.vocab_size, talker_cfg.codec_eos_token_id
@@ -311,6 +336,7 @@ def generate_chunk_batch(
             code0, rest, is_eos, seen, key, codec_sum = _frame_batch(
                 talker_params, cp_params, talker_cfg, cp_cfg, sampling,
                 suppress_mask, hidden[:, 0], logits_last, c.seen, c.key,
+                samp_vec=samp_vec,
             )
         # a sequence records this frame iff it was active and didn't hit EOS
         active = ~c.done & (c.steps < max_steps)
@@ -371,6 +397,7 @@ def admit_slot(
     trailing_len: jnp.ndarray,  # scalar int32
     tts_pad_embed: jnp.ndarray,  # [h]
     key: jax.Array,
+    samp_row: jnp.ndarray | None = None,  # [1, 4] (sampling.per_request)
 ) -> tuple[BatchCarry, jnp.ndarray]:
     """Admit a new request into a finished slot between decode chunks.
 
@@ -407,7 +434,7 @@ def admit_slot(
     key, k_frame = jax.random.split(key)
     code0, rest, is_eos, seen1, _, codec_sum = _frame_batch(
         talker_params, cp_params, talker_cfg, cp_cfg, sampling, suppress_mask,
-        last, logits, jnp.zeros((1, vocab), bool), k_frame,
+        last, logits, jnp.zeros((1, vocab), bool), k_frame, samp_vec=samp_row,
     )
     next_in = _next_input_batch(
         cp_params, talker_params, trailing_row[None], trailing_len[None],
@@ -462,12 +489,14 @@ def generate_codes_batch(
     max_steps,  # [B]
     max_frames: int,
     key,
+    samp_vec=None,
 ) -> BatchResult:
     carry = prefill_start_batch(
         talker_params, cp_params, talker_cfg=talker_cfg, cp_cfg=cp_cfg,
         sampling=sampling, prefill_embeds=prefill_embeds, prefill_lens=prefill_lens,
         trailing_embeds=trailing_embeds, trailing_lens=trailing_lens,
         tts_pad_embed=tts_pad_embed, cache=cache, max_frames=max_frames, key=key,
+        samp_vec=samp_vec,
     )
     carry = generate_chunk_batch(
         talker_params, cp_params, carry, talker_cfg=talker_cfg, cp_cfg=cp_cfg,
@@ -475,5 +504,6 @@ def generate_codes_batch(
         trailing_lens=trailing_lens, tts_pad_embed=tts_pad_embed,
         max_steps=jnp.asarray(max_steps, jnp.int32),
         until_step=jnp.int32(max_frames),
+        samp_vec=samp_vec,
     )
     return BatchResult(codes=carry.codes, n_frames=carry.frames, tokens=carry.tokens)

@@ -184,6 +184,7 @@ def predict_codes(
     top_k: int,
     top_p: float,
     ref_exact_top_p: bool = False,
+    samp_vec: jnp.ndarray | None = None,  # [B, 4] per-row (t, k, p, rep)
 ) -> jnp.ndarray:
     """Generate codebooks 2..16 for one frame, fully on device.
 
@@ -191,11 +192,24 @@ def predict_codes(
     (Qwen3.swift:674-705): 2-token prefill with [hidden, codec_embed(code0)],
     then 14 AR steps, each sampling with the shared temperature/top-k/top-p
     but no repetition penalty / suppression / EOS handling.
+
+    ``samp_vec`` (serving's per-request sampling mode) overrides the shared
+    scalars with per-row values: column 0 temperature, 1 top_k, 2 top_p
+    (column 3, the repetition penalty, is unused here — the reference's CP
+    loop applies none either).
     """
     B = code0.shape[0]
     cache = make_cp_cache(cfg, B, last_hidden.dtype)
 
     def sample(logits, k):
+        if samp_vec is not None:
+            from ..ops.sampling import sample_token_vec
+
+            return sample_token_vec(
+                k, logits, temperature=samp_vec[:, 0],
+                top_k=samp_vec[:, 1].astype(jnp.int32), top_p=samp_vec[:, 2],
+                ref_exact_top_p=ref_exact_top_p,
+            )
         return sample_token_inner(
             k, logits, temperature=temperature, top_k=top_k, top_p=top_p,
             ref_exact_top_p=ref_exact_top_p,

@@ -45,7 +45,15 @@ class SamplingConfig(NamedTuple):
     ``forbid_eos`` suppresses the EOS token entirely (benchmarking: forces
     generation to run to the step cap regardless of weights).
     ``ref_exact_top_p`` reproduces the reference's unnormalized-exp top-p
-    (Qwen3.swift:92-117) for bit-parity runs."""
+    (Qwen3.swift:92-117) for bit-parity runs.
+    ``per_request`` (serving): sampling parameters are per-slot DATA — the
+    batched paths take a ``samp_vec`` [B, 4] array (temperature, top_k,
+    top_p, repetition_penalty per row) and sample each slot with its own
+    values (ops/sampling.py::sample_token_vec); the scalar fields become
+    the defaults for requests that don't override. The in-kernel samplers
+    (which bake scalars into the compiled program) are disabled in this
+    mode — the reference grants per-call sampling on every generate
+    (Qwen3.swift:587-616), and serving must not silently drop it."""
 
     temperature: float = 0.9
     top_k: int = 50
@@ -53,6 +61,7 @@ class SamplingConfig(NamedTuple):
     repetition_penalty: float = 1.05
     forbid_eos: bool = False
     ref_exact_top_p: bool = False
+    per_request: bool = False
 
 
 class GenCarry(NamedTuple):
@@ -86,7 +95,7 @@ def _use_cp_kernel(cp_params, cp_cfg, talker_cfg, sampling: SamplingConfig) -> b
 
     if os.environ.get("QWEN3TTS_NO_CP_KERNEL"):
         return False
-    if sampling.top_p < 1.0 or sampling.ref_exact_top_p:
+    if sampling.top_p < 1.0 or sampling.ref_exact_top_p or sampling.per_request:
         return False
     if jax.devices()[0].platform not in ("tpu", "axon"):
         return False
@@ -113,7 +122,7 @@ def _use_talker_sample_kernel(talker_params, talker_cfg, sampling) -> bool:
         # keep the fused step kernel but sample through the XLA head+sampler
         # (A/B knob: the in-kernel tail wins at B=1, costs at large B)
         return False
-    if sampling.top_p < 1.0 or sampling.ref_exact_top_p:
+    if sampling.top_p < 1.0 or sampling.ref_exact_top_p or sampling.per_request:
         return False
     if jax.devices()[0].platform not in ("tpu", "axon"):
         return False

@@ -143,6 +143,75 @@ def sample_token_inner(
     )
 
 
+def sample_token_vec(
+    key: jax.Array,
+    logits: jnp.ndarray,  # [B, V]
+    *,
+    temperature: jnp.ndarray,  # [B] float32
+    top_k: jnp.ndarray,  # [B] int32
+    top_p: jnp.ndarray | None = None,  # [B] float32 (None: filter disabled)
+    repetition_penalty: jnp.ndarray | None = None,  # [B] float32
+    seen: jnp.ndarray | None = None,  # [B, V] bool
+    suppress_mask: jnp.ndarray | None = None,  # [V] bool
+    eos_token_id: int | None = None,
+    ref_exact_top_p: bool = False,
+) -> jnp.ndarray:
+    """Batched sampler with PER-ROW parameters (serving's per-request
+    sampling mode). Row b follows ``sample_token_inner`` with that row's
+    scalars exactly — same filter order (suppress → penalty → greedy-or →
+    top-k → top-p → EOS restore → temperature-scaled categorical), same
+    disable semantics (temperature <= 0 greedy, top_k outside (0, V) off,
+    top_p outside (0, 1) off). Parity is pinned per-row against the scalar
+    sampler in tests/test_ops.py.
+
+    The per-row top-k threshold comes from one ascending sort (the k-th
+    largest is sorted[V - k]) instead of ``lax.top_k`` (static k only);
+    with ties this keeps every logit >= the threshold, exactly like the
+    scalar path. Costs one [B, V] sort (+ one more when ``top_p`` is
+    given) per step — the price of parameter generality; the megakernel
+    samplers stay on the service-wide scalar path.
+    """
+    logits = logits.astype(jnp.float32)
+    B, V = logits.shape
+    if suppress_mask is not None:
+        logits = jnp.where(suppress_mask, NEG_INF, logits)
+    if repetition_penalty is not None and seen is not None:
+        pen = repetition_penalty[:, None]
+        penalized = jnp.where(logits < 0, logits * pen, logits / pen)
+        logits = jnp.where(seen, penalized, logits)
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if eos_token_id is not None:
+        eos_logit = logits[:, eos_token_id]
+
+    k = jnp.clip(top_k.astype(jnp.int32), 1, V)
+    kth = jnp.take_along_axis(jnp.sort(logits, axis=-1), (V - k)[:, None], axis=-1)
+    no_k = (top_k <= 0) | (top_k >= V)
+    logits = jnp.where(no_k[:, None] | (logits >= kth), logits, NEG_INF)
+
+    if top_p is not None:
+        # identical math to apply_top_p, thresholded per row
+        if ref_exact_top_p:
+            probs = jnp.exp(logits)
+        else:
+            probs = jax.nn.softmax(logits, axis=-1)
+        order = jnp.argsort(logits, axis=-1)
+        cum = jnp.cumsum(jnp.take_along_axis(probs, order, axis=-1), axis=-1)
+        inv = jnp.argsort(order, axis=-1)
+        cum_orig = jnp.take_along_axis(cum, inv, axis=-1)
+        keep = ((top_p >= 1.0) | (top_p <= 0.0))[:, None] | (
+            cum_orig > (1.0 - top_p[:, None])
+        )
+        logits = jnp.where(keep, logits, NEG_INF)
+
+    if eos_token_id is not None:
+        logits = logits.at[:, eos_token_id].set(eos_logit)
+    temp_safe = jnp.where(temperature > 0, temperature, 1.0)
+    sampled = jax.random.categorical(
+        key, logits * (1.0 / temp_safe)[:, None], axis=-1
+    ).astype(jnp.int32)
+    return jnp.where(temperature <= 0, greedy_tok, sampled)
+
+
 def build_suppress_mask(vocab_size: int, eos_token_id: int, n_special: int = 1024):
     """Static mask over the last ``n_special`` vocab ids except EOS.
 

@@ -190,30 +190,33 @@ def generate_codes_batch_dp(
 def prefill_start_batch_dp(
     talker_params, cp_params, *, mesh: Mesh, talker_cfg, cp_cfg, sampling,
     prefill_embeds, prefill_lens, trailing_embeds, trailing_lens,
-    tts_pad_embed, cache, max_frames: int, key,
+    tts_pad_embed, cache, max_frames: int, key, samp_vec=None,
 ) -> bg.BatchCarry:
-    """Sharded prefill + first frame; returns a DISTRIBUTED carry."""
+    """Sharded prefill + first frame; returns a DISTRIBUTED carry.
+    ``samp_vec`` [B, 4] (sampling.per_request): per-slot sampling
+    parameters, sharded with the slots."""
     dp = dp_size(mesh)
     assert prefill_embeds.shape[0] % dp == 0
 
-    def shard_fn(tkp, cpp, pe, pl, te, tl, pad, cache_, key_):
+    def shard_fn(tkp, cpp, pe, pl, te, tl, pad, cache_, key_, sv):
         key_ = jax.random.fold_in(key_, jax.lax.axis_index("dp"))
         c = bg.prefill_start_batch.__wrapped__(
             tkp, cpp, talker_cfg=talker_cfg, cp_cfg=cp_cfg, sampling=sampling,
             prefill_embeds=pe, prefill_lens=pl, trailing_embeds=te,
             trailing_lens=tl, tts_pad_embed=pad, cache=cache_,
-            max_frames=max_frames, key=key_,
+            max_frames=max_frames, key=key_, samp_vec=sv,
         )
         return _distribute(c)
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp"), P(),
-                  P(None, "dp"), P()),
+                  P(None, "dp"), P(), P("dp")),
         out_specs=_carry_specs(), check_vma=False,
     )
     return fn(talker_params, cp_params, prefill_embeds, prefill_lens,
-              trailing_embeds, trailing_lens, tts_pad_embed, cache, key)
+              trailing_embeds, trailing_lens, tts_pad_embed, cache, key,
+              samp_vec)
 
 
 @functools.partial(
@@ -224,7 +227,7 @@ def prefill_start_batch_dp(
 def generate_chunk_batch_dp(
     talker_params, cp_params, carry: bg.BatchCarry, *, mesh: Mesh,
     talker_cfg, cp_cfg, sampling, trailing_embeds, trailing_lens,
-    tts_pad_embed, max_steps, until_step,
+    tts_pad_embed, max_steps, until_step, samp_vec=None,
 ) -> bg.BatchCarry:
     """One decode chunk per shard (distributed carry in/out). ``until_step``
     bounds each shard's lockstep counter: a scalar applies globally, a [dp]
@@ -235,24 +238,24 @@ def generate_chunk_batch_dp(
     until = jnp.asarray(until_step, jnp.int32)
     per_shard_until = until.ndim == 1
 
-    def shard_fn(tkp, cpp, c, te, tl, pad, ms, u):
+    def shard_fn(tkp, cpp, c, te, tl, pad, ms, u, sv):
         c = bg.generate_chunk_batch.__wrapped__(
             tkp, cpp, _localize(c), talker_cfg=talker_cfg, cp_cfg=cp_cfg,
             sampling=sampling, trailing_embeds=te, trailing_lens=tl,
             tts_pad_embed=pad, max_steps=ms,
-            until_step=u[0] if per_shard_until else u,
+            until_step=u[0] if per_shard_until else u, samp_vec=sv,
         )
         return _distribute(c)
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), _carry_specs(), P("dp"), P("dp"), P(),
-                  P("dp"), P("dp") if per_shard_until else P()),
+                  P("dp"), P("dp") if per_shard_until else P(), P("dp")),
         out_specs=_carry_specs(), check_vma=False,
     )
     return fn(talker_params, cp_params, carry, trailing_embeds,
               trailing_lens, tts_pad_embed,
-              jnp.asarray(max_steps, jnp.int32), until)
+              jnp.asarray(max_steps, jnp.int32), until, samp_vec)
 
 
 @functools.partial(
@@ -264,6 +267,7 @@ def admit_slot_dp(
     talker_params, cp_params, carry: bg.BatchCarry, trailing_all, *,
     mesh: Mesh, talker_cfg, cp_cfg, sampling, slot, prefill_embeds,
     prefill_len, trailing_row, trailing_len, tts_pad_embed, key,
+    samp_row=None,
 ) -> tuple[bg.BatchCarry, jnp.ndarray]:
     """Admit a request into GLOBAL slot ``slot`` between decode chunks.
 
@@ -274,7 +278,7 @@ def admit_slot_dp(
     folds the admit key by its shard index so admission never correlates
     shard streams)."""
 
-    def shard_fn(tkp, cpp, c, tr_all, slot_, pe, pl, trow, tlen, pad, key_):
+    def shard_fn(tkp, cpp, c, tr_all, slot_, pe, pl, trow, tlen, pad, key_, sr):
         c = _localize(c)
         local_b = c.codes.shape[0]
         idx = jax.lax.axis_index("dp")
@@ -286,6 +290,7 @@ def admit_slot_dp(
             sampling=sampling, slot=local_slot, prefill_embeds=pe,
             prefill_len=pl, trailing_row=trow, trailing_len=tlen,
             tts_pad_embed=pad, key=jax.random.fold_in(key_, idx),
+            samp_row=sr,
         )
         c_out = jax.tree.map(lambda n, o: jnp.where(is_owner, n, o), new_c, c)
         tr_out = jnp.where(is_owner, new_tr, tr_all)
@@ -294,10 +299,11 @@ def admit_slot_dp(
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), _carry_specs(), P("dp"), P(), P(), P(), P(),
-                  P(), P(), P()),
+                  P(), P(), P(), P()),
         out_specs=(_carry_specs(), P("dp")), check_vma=False,
     )
     return fn(talker_params, cp_params, carry, trailing_all,
               jnp.asarray(slot, jnp.int32), prefill_embeds,
               jnp.asarray(prefill_len, jnp.int32), trailing_row,
-              jnp.asarray(trailing_len, jnp.int32), tts_pad_embed, key)
+              jnp.asarray(trailing_len, jnp.int32), tts_pad_embed, key,
+              samp_row)

@@ -461,3 +461,203 @@ class TestContinuousBatchingDp(TestContinuousBatching):
 
     # inherits the four greedy-equality/throughput tests; the iteration
     # bound still holds because slot counts and chunk sizes are unchanged
+
+
+class TestPerRequestSampling:
+    """sampling.per_request: per-slot sampling parameters as device data
+    (samp_vec [B, 4]) through prefill/chunk/admit and the serving layers —
+    the reference's per-call sampling surface (Qwen3.swift:587-616) carried
+    into continuous batching."""
+
+    def _inputs(self, params, B=2):
+        h = TINY_TALKER.hidden_size
+        prefill = jax.random.normal(jax.random.PRNGKey(40), (B, 6, h)) * 0.1
+        trailing = jax.random.normal(jax.random.PRNGKey(41), (B, 3, h)) * 0.1
+        return dict(
+            prefill_embeds=prefill, prefill_lens=jnp.asarray([6] * B),
+            trailing_embeds=trailing, trailing_lens=jnp.asarray([3] * B),
+            tts_pad_embed=jnp.zeros((h,)),
+            max_steps=jnp.asarray([5] * B), max_frames=8,
+            key=jax.random.PRNGKey(3),
+        )
+
+    def test_uniform_vec_bit_matches_scalar_batch(self, params):
+        """All rows at the service defaults == the scalar-sampling program
+        bit-for-bit (same key, identical filter math, same categorical)."""
+        talker, cpp = params
+        scal = gen.SamplingConfig(0.9, 8, 1.0, 1.05, forbid_eos=True)
+        kw = self._inputs(params)
+        a = bg.generate_codes_batch(
+            talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=scal,
+            cache=tk.make_cache(TINY_TALKER, 2, 64, jnp.float32), **kw,
+        )
+        samp_vec = jnp.asarray([[0.9, 8.0, 1.0, 1.05]] * 2, jnp.float32)
+        b = bg.generate_codes_batch(
+            talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP,
+            sampling=scal._replace(per_request=True), samp_vec=samp_vec,
+            cache=tk.make_cache(TINY_TALKER, 2, 64, jnp.float32), **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(a.n_frames), np.asarray(b.n_frames))
+        np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(b.codes))
+
+    def test_greedy_row_among_sampled_rows(self, params):
+        """A temperature=0 row in a per-request batch reproduces the
+        all-greedy run's row exactly while its neighbor samples at 0.9 —
+        rows are independent."""
+        talker, cpp = params
+        kw = self._inputs(params)
+        ref = bg.generate_codes_batch(
+            talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=GREEDY,
+            cache=tk.make_cache(TINY_TALKER, 2, 64, jnp.float32), **kw,
+        )
+        pr = gen.SamplingConfig(0.9, 50, 1.0, 1.05)._replace(per_request=True)
+        samp_vec = jnp.asarray(
+            [[0.0, 0.0, 1.0, 1.0],  # row 0: greedy, no penalty (== GREEDY)
+             [0.9, 50.0, 1.0, 1.05]], jnp.float32,
+        )
+        out = bg.generate_codes_batch(
+            talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=pr,
+            samp_vec=samp_vec,
+            cache=tk.make_cache(TINY_TALKER, 2, 64, jnp.float32), **kw,
+        )
+        n = int(ref.n_frames[0])
+        assert int(out.n_frames[0]) == n
+        np.testing.assert_array_equal(
+            np.asarray(out.codes[0][:n]), np.asarray(ref.codes[0][:n])
+        )
+
+    def _batcher(self, params, sampling, slots=2, **kw):
+        from qwen3tts_tpu.serving import ContinuousBatcher
+
+        talker, cpp = params
+        return ContinuousBatcher(
+            talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP,
+            sampling=sampling,
+            tts_pad_embed=jnp.zeros((TINY_TALKER.hidden_size,)),
+            slots=slots, chunk_frames=3, max_frames=16, dtype=jnp.float32,
+            **kw,
+        )
+
+    def _greedy_item(self, i, plen, cap):
+        from qwen3tts_tpu.serving import BatchItem
+
+        h = TINY_TALKER.hidden_size
+        p = jax.random.normal(jax.random.PRNGKey(100 + i), (1, plen, h)) * 0.1
+        t = jax.random.normal(jax.random.PRNGKey(200 + i), (3, h)) * 0.1
+        return BatchItem(
+            prefill_embeds=p, trailing=t, max_steps=cap,
+            temperature=0.0, top_k=0, top_p=1.0, repetition_penalty=1.0,
+        )
+
+    def test_batcher_greedy_overrides_match_single_runs(self, params):
+        """Per-request greedy overrides on a sampled-default batcher: every
+        request (first wave AND admitted) must equal its independent greedy
+        single run — through prefill_start_batch, admit_slot and
+        generate_chunk_batch with samp_vec."""
+        defaults = gen.SamplingConfig(0.9, 50, 1.0, 1.05)._replace(per_request=True)
+        items = [self._greedy_item(i, plen, cap)
+                 for i, (plen, cap) in enumerate([(6, 4), (5, 4), (7, 5)])]
+        outs = self._batcher(params, defaults).run(items)
+        for i, it in enumerate(items):
+            ref = _single(
+                params, it.prefill_embeds[0], it.prefill_embeds.shape[1],
+                it.trailing, 3, max_steps=it.max_steps, max_frames=16,
+            )
+            n = int(ref.n_frames)
+            assert outs[i].n_frames == n, f"request {i}"
+            np.testing.assert_array_equal(
+                outs[i].codes, np.asarray(ref.codes)[:n], err_msg=f"request {i}"
+            )
+
+    def test_mixed_temperatures_concurrently(self, params):
+        """One greedy request + one sampled request decode concurrently;
+        the greedy one still reproduces its solo run exactly."""
+        from qwen3tts_tpu.serving import BatchItem
+
+        h = TINY_TALKER.hidden_size
+        p1 = jax.random.normal(jax.random.PRNGKey(101), (1, 5, h)) * 0.1
+        t1 = jax.random.normal(jax.random.PRNGKey(201), (3, h)) * 0.1
+        items = [
+            self._greedy_item(0, 6, 5),
+            BatchItem(prefill_embeds=p1, trailing=t1, max_steps=5, seed=7,
+                      temperature=0.9, top_k=20),
+        ]
+        defaults = gen.SamplingConfig(0.5, 10, 1.0, 1.0)._replace(per_request=True)
+        outs = self._batcher(params, defaults).run(items)
+        ref = _single(params, items[0].prefill_embeds[0], 6, items[0].trailing,
+                      3, max_steps=5, max_frames=16)
+        n = int(ref.n_frames)
+        assert outs[0].n_frames == n
+        np.testing.assert_array_equal(outs[0].codes, np.asarray(ref.codes)[:n])
+        assert outs[1].n_frames >= 1  # the sampled neighbor completed too
+
+    def test_overrides_rejected_without_flag(self, params):
+        items = [self._greedy_item(0, 6, 4)]
+        with pytest.raises(ValueError, match="per-request"):
+            self._batcher(params, GREEDY).run(items)
+
+    def test_server_per_request_overrides(self, params):
+        """Qwen3TTSServer with per_request defaults: greedy-override
+        submissions reproduce single runs; a frozen server rejects
+        overrides at submit."""
+        from qwen3tts_tpu.serving import Qwen3TTSServer
+
+        talker, cpp = params
+        defaults = gen.SamplingConfig(0.9, 50, 1.0, 1.05)._replace(per_request=True)
+        srv = Qwen3TTSServer(
+            talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP,
+            sampling=defaults,
+            tts_pad_embed=jnp.zeros((TINY_TALKER.hidden_size,)),
+            slots=2, chunk_frames=3, max_frames=16,
+            prompt_bucket=16, trailing_bucket=8, cache_len=64,
+            dtype=jnp.float32,
+        )
+        items = [self._greedy_item(i, plen, cap)
+                 for i, (plen, cap) in enumerate([(6, 4), (5, 4), (7, 5)])]
+        futs = [srv.submit(it) for it in items]
+        outs = [f.result(timeout=600) for f in futs]
+        srv.close()
+        for i, it in enumerate(items):
+            ref = _single(
+                params, it.prefill_embeds[0], it.prefill_embeds.shape[1],
+                it.trailing, 3, max_steps=it.max_steps, max_frames=16,
+            )
+            n = int(ref.n_frames)
+            assert outs[i].n_frames == n
+            np.testing.assert_array_equal(outs[i].codes, np.asarray(ref.codes)[:n])
+
+        frozen = Qwen3TTSServer(
+            talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=GREEDY,
+            tts_pad_embed=jnp.zeros((TINY_TALKER.hidden_size,)),
+            slots=2, chunk_frames=3, max_frames=16,
+            prompt_bucket=16, trailing_bucket=8, cache_len=64,
+            dtype=jnp.float32,
+        )
+        with pytest.raises(ValueError, match="per-request"):
+            frozen.submit(self._greedy_item(0, 6, 4))
+        frozen.close()
+
+
+class TestPerRequestSamplingDp(TestPerRequestSampling):
+    """Per-request sampling under the dp shard_map serving programs:
+    samp_vec shards with the slots (P("dp")), the admit row replicates —
+    the greedy-override equalities must carry over shard boundaries."""
+
+    def _batcher(self, params, sampling, slots=2, **kw):
+        from qwen3tts_tpu.parallel import mesh as pm
+        from qwen3tts_tpu.serving import ContinuousBatcher
+
+        talker, cpp = params
+        return ContinuousBatcher(
+            talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP,
+            sampling=sampling,
+            tts_pad_embed=jnp.zeros((TINY_TALKER.hidden_size,)),
+            slots=max(slots, 2), chunk_frames=3, max_frames=16,
+            dtype=jnp.float32, dp_mesh=pm.make_mesh(jax.devices()[:2], tp=1),
+            **kw,
+        )
+
+    # only the batcher-level tests exercise dp; keep the rest single-chip
+    test_uniform_vec_bit_matches_scalar_batch = None
+    test_greedy_row_among_sampled_rows = None
+    test_server_per_request_overrides = None

@@ -153,3 +153,113 @@ class TestSampling:
         logits = jnp.zeros((4, 16))
         tok = sampling.sample_token(jax.random.PRNGKey(0), logits)
         assert tok.shape == (4,) and tok.dtype == jnp.int32
+
+
+class TestSampleTokenVec:
+    """Per-row-parameter sampler (serving's per-request sampling mode):
+    row b of sample_token_vec must follow sample_token_inner with row b's
+    scalars (ops/sampling.py). Uniform rows + the same key are BIT-equal to
+    the scalar batched sampler (identical filter values, identical
+    categorical over the same [B, V] gumbel draw)."""
+
+    V = 64
+
+    def _logits(self, B, key=0):
+        return jax.random.normal(jax.random.PRNGKey(key), (B, self.V)) * 3.0
+
+    def test_uniform_rows_bit_match_scalar_batch(self):
+        B = 5
+        logits = self._logits(B)
+        seen = jax.random.bernoulli(jax.random.PRNGKey(1), 0.3, (B, self.V))
+        key = jax.random.PRNGKey(2)
+        for top_p in (1.0, 0.9):
+            a = sampling.sample_token_inner(
+                key, logits, temperature=0.8, top_k=7, top_p=top_p,
+                repetition_penalty=1.1, seen=seen, eos_token_id=3,
+            )
+            b = sampling.sample_token_vec(
+                key, logits,
+                temperature=jnp.full((B,), 0.8),
+                top_k=jnp.full((B,), 7, jnp.int32),
+                top_p=jnp.full((B,), top_p),
+                repetition_penalty=jnp.full((B,), 1.1),
+                seen=seen, eos_token_id=3,
+            )
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_greedy_rows_match_scalar_greedy(self):
+        """temperature <= 0 rows are argmax AFTER suppress+penalty, BEFORE
+        top-k/top-p — exactly the scalar path's order."""
+        B = 4
+        logits = self._logits(B, key=3)
+        seen = jax.random.bernoulli(jax.random.PRNGKey(4), 0.4, (B, self.V))
+        out = sampling.sample_token_vec(
+            jax.random.PRNGKey(5), logits,
+            temperature=jnp.zeros((B,)),
+            top_k=jnp.full((B,), 5, jnp.int32),
+            top_p=jnp.full((B,), 0.5),
+            repetition_penalty=jnp.full((B,), 1.3),
+            seen=seen,
+        )
+        ref = sampling.sample_token_inner(
+            jax.random.PRNGKey(5), logits, temperature=0.0, top_k=5, top_p=0.5,
+            repetition_penalty=1.3, seen=seen,
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_per_row_top_k_membership(self):
+        """Each row's draws stay inside ITS OWN top-k set (+ EOS, which
+        bypasses the filters) across many keys."""
+        B = 3
+        logits = self._logits(B, key=6)
+        ks = jnp.asarray([1, 5, 20], jnp.int32)
+        eos = 7
+        allowed = []
+        for b in range(B):
+            top = np.argsort(-np.asarray(logits[b]))[: int(ks[b])]
+            allowed.append(set(top.tolist()) | {eos})
+        for i in range(60):
+            toks = sampling.sample_token_vec(
+                jax.random.PRNGKey(1000 + i), logits,
+                temperature=jnp.full((B,), 1.0),
+                top_k=ks, eos_token_id=eos,
+            )
+            for b in range(B):
+                assert int(toks[b]) in allowed[b], (b, int(toks[b]))
+
+    def test_top_k_one_equals_greedy(self):
+        """top_k=1 with temperature > 0 must pick the post-penalty argmax —
+        the same token a temperature<=0 row picks."""
+        B = 2
+        logits = self._logits(B, key=7)
+        seen = jax.random.bernoulli(jax.random.PRNGKey(8), 0.4, (B, self.V))
+        hot = sampling.sample_token_vec(
+            jax.random.PRNGKey(9), logits,
+            temperature=jnp.full((B,), 0.9),
+            top_k=jnp.ones((B,), jnp.int32),
+            repetition_penalty=jnp.full((B,), 1.2), seen=seen,
+        )
+        cold = sampling.sample_token_vec(
+            jax.random.PRNGKey(10), logits,
+            temperature=jnp.zeros((B,)),
+            top_k=jnp.zeros((B,), jnp.int32),
+            repetition_penalty=jnp.full((B,), 1.2), seen=seen,
+        )
+        np.testing.assert_array_equal(np.asarray(hot), np.asarray(cold))
+
+    def test_disable_semantics(self):
+        """top_k outside (0, V) and top_p outside (0, 1) disable the row's
+        filter — matching the scalar sampler's guards."""
+        B = 3
+        logits = self._logits(B, key=11)
+        key = jax.random.PRNGKey(12)
+        a = sampling.sample_token_vec(
+            key, logits,
+            temperature=jnp.full((B,), 1.0),
+            top_k=jnp.asarray([0, self.V, -3], jnp.int32),
+            top_p=jnp.asarray([1.0, 0.0, 1.5]),
+        )
+        b = sampling.sample_token_inner(
+            key, logits, temperature=1.0, top_k=0, top_p=1.0,
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -185,3 +185,176 @@ def test_http_stream_endpoint(model):
     assert b"data" in body[:44]
     pcm = np.frombuffer(body[44:], dtype="<i2")
     assert pcm.size > 0 and pcm.size % 1920 == 0  # whole codec frames
+
+
+def test_service_submit_stream_solo(model):
+    """submit_stream routes through the continuous batcher and yields the
+    generate_stream event contract: tokens, tiling audio chunks, info,
+    opt-in final audio (round-4 verdict #1)."""
+    from qwen3tts_tpu.tts import (
+        AudioChunkEvent, AudioEvent, InfoEvent, TokenEvent,
+    )
+
+    with model.serve(
+        slots=2, chunk_frames=3, max_frames=16,
+        prompt_bucket=64, trailing_bucket=16,
+        temperature=0.0, top_k=0, repetition_penalty=1.0,
+    ) as svc:
+        events = list(
+            svc.submit_stream(
+                "Streaming through slots", speaker="Aiden", max_tokens=16,
+                audio_chunk_frames=2, final_audio=True,
+            )
+        )
+    kinds = [type(e).__name__ for e in events]
+    toks = [e for e in events if isinstance(e, TokenEvent)]
+    chunks = [e for e in events if isinstance(e, AudioChunkEvent)]
+    infos = [e for e in events if isinstance(e, InfoEvent)]
+    finals = [e for e in events if isinstance(e, AudioEvent)]
+    assert len(toks) >= 1 and len(chunks) >= 1
+    assert len(infos) == 1 and len(finals) == 1
+    assert infos[0].info.generation_token_count == len(toks)
+    # events are ordered: all tokens/chunks before info before final audio
+    assert kinds[-2:] == ["InfoEvent", "AudioEvent"]
+    # chunks tile the utterance: offsets increase, total == final decode
+    offs = [c.frame_offset for c in chunks]
+    assert offs == sorted(offs) and offs[0] == 0
+    up = model.tokenizer_config.decoder_config.total_upsample
+    total = sum(c.audio.shape[0] for c in chunks)
+    assert total == len(toks) * up
+    assert finals[0].audio.shape[0] == total
+    assert all(np.isfinite(c.audio).all() for c in chunks)
+
+
+def test_concurrent_streams_share_server(model):
+    """Two /synthesize_stream-style requests + one batch submit are served
+    from the SAME server concurrently: each stream's first audio arrives
+    while the other is still decoding (slot-shared lockstep, not serialized
+    private decodes) — round-4 verdict #1's done criterion."""
+    import time
+
+    from qwen3tts_tpu.tts import AudioChunkEvent
+
+    with model.serve(
+        slots=4, chunk_frames=3, max_frames=16,
+        prompt_bucket=64, trailing_bucket=16,
+        temperature=0.0, top_k=0, repetition_penalty=1.0,
+    ) as svc:
+        marks = {}
+
+        def run_stream(name, text):
+            from qwen3tts_tpu.tts import TokenEvent
+
+            first_chunk = None
+            n_chunks = n_tokens = 0
+            for ev in svc.submit_stream(
+                text, speaker="Aiden", max_tokens=16, audio_chunk_frames=2
+            ):
+                if isinstance(ev, TokenEvent):
+                    n_tokens += 1
+                if isinstance(ev, AudioChunkEvent):
+                    n_chunks += 1
+                    if first_chunk is None:
+                        first_chunk = time.time()
+            marks[name] = (first_chunk, time.time(), n_chunks, n_tokens)
+
+        t1 = threading.Thread(target=run_stream, args=("a", "First stream"))
+        t2 = threading.Thread(target=run_stream, args=("b", "Second one"))
+        t1.start(); t2.start()
+        batch_fut = svc.submit("Plain batch request", speaker="Aiden",
+                               max_tokens=8)
+        t1.join(); t2.join()
+        audio = batch_fut.result(timeout=600)
+        iters = svc._server.total_iterations
+
+    assert audio.shape[0] > 0
+    (fa, da, na, ta), (fb, db, nb, tb) = marks["a"], marks["b"]
+    assert na >= 1 and nb >= 1
+    assert fa is not None and fb is not None
+    # interleaving: each stream produced audio BEFORE the other finished
+    assert fa < db and fb < da, (marks,)
+    # slot sharing, not serialization: the shared lockstep counter advanced
+    # FEWER iterations than the requests' summed frames (a serialized
+    # server pays ~the sum; a shared one pays ~the max + admission skew)
+    up = model.tokenizer_config.decoder_config.total_upsample
+    batch_frames = audio.shape[0] // up
+    assert 0 < iters < ta + tb + batch_frames, (iters, ta, tb, batch_frames)
+
+
+def test_stream_cancel_frees_slot(model):
+    """Abandoning a stream (generator close) cancels its slot within one
+    chunk: a queued request then gets the slot, and the server never
+    decodes the abandoned request to its cap."""
+    from qwen3tts_tpu.tts import TokenEvent
+
+    with model.serve(
+        slots=1, chunk_frames=3, max_frames=16,
+        prompt_bucket=64, trailing_bucket=16,
+        temperature=0.0, top_k=0, repetition_penalty=1.0,
+    ) as svc:
+        stream = svc.submit_stream(
+            "Abandon this long one", speaker="Aiden", max_tokens=16,
+            audio_chunk_frames=2,
+        )
+        for ev in stream:
+            if isinstance(ev, TokenEvent):
+                break  # first token seen: abandon mid-utterance
+        stream.close()
+        out = svc.submit("Short follow-up", speaker="Aiden", max_tokens=4)
+        audio = out.result(timeout=600)
+        iters = svc._server.total_iterations
+    assert audio.shape[0] > 0
+    # cancelled-at-~7-frames + 4-frame follow-up, not 16 + 4 lockstep
+    assert iters < 16, iters
+
+
+def test_http_per_request_sampling(model):
+    """Sampling fields in request bodies: applied on a per-request service
+    (200), rejected loudly on a frozen one (400) — round-4 verdict #2."""
+    from qwen3tts_tpu.serving_http import make_server
+
+    def post(port, path, body, timeout=600):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return r.status, r.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    body = {"text": "Sampled", "speaker": "Aiden", "max_tokens": 6,
+            "temperature": 0.0, "top_k": 1, "repetition_penalty": 1.0}
+    with model.serve(
+        slots=2, chunk_frames=3, max_frames=16,
+        prompt_bucket=64, trailing_bucket=16, per_request_sampling=True,
+    ) as svc:
+        srv = make_server(svc, "127.0.0.1", 0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            code, out = post(srv.server_address[1], "/synthesize", body)
+            assert code == 200 and out[:4] == b"RIFF"
+            code, out = post(
+                srv.server_address[1], "/synthesize_stream",
+                {**body, "chunk_frames": 2},
+            )
+            assert code == 200 and out[:4] == b"RIFF"
+        finally:
+            srv.shutdown()
+
+    with model.serve(
+        slots=2, chunk_frames=3, max_frames=16,
+        prompt_bucket=64, trailing_bucket=16,
+    ) as svc:
+        srv = make_server(svc, "127.0.0.1", 0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            for path in ("/synthesize", "/synthesize_stream"):
+                code, out = post(srv.server_address[1], path, body, timeout=60)
+                assert code == 400, (path, code)
+                assert "per-request" in json.loads(out)["error"]
+        finally:
+            srv.shutdown()
