@@ -407,22 +407,32 @@ def main() -> None:
                 }
                 log(f"scenario long: {json.dumps(scenarios['long_decode_1.7b_512f'])}")
 
-            # vd/clone share the 66-frame 1.7B synthesis cost; the 128-bucket
-            # vocoder program is already warm from the 0.6B headline
+            # vd/clone: the PRODUCTION short-utterance path — fused decode +
+            # lax.switch vocoder (72 bucket for 66 frames) over a
+            # right-sized 256-slot cache, exactly what generate() compiles.
+            # Round-5 fix (verdict #4): the old vd_run reused the
+            # long-decode program (4096-slot cache) and vocoded through a
+            # separate 128-bucket dispatch — overpaying ~9% RTF vs the
+            # production program (measured: tools/exp_17b_margin.py).
+            from qwen3tts_tpu.tts import _generate_and_decode
+
             def vd_run(seed):
                 t0 = time.time()
-                c = run_17b(seed, FRAMES)
-                jax.block_until_ready(c.codes)
-                g = time.time() - t0
-                t0 = time.time()
-                w, _ = vc.decode(
-                    voc_params, vcfg, c.codes[None, :max_frames], jnp.int32(FRAMES)
+                _c, nf, w, _l = _generate_and_decode(
+                    tpL, cpL, voc_params, talker_cfg=cfgL, cp_cfg=cpcL,
+                    sampling=sampling, dec_cfg=vcfg,
+                    prefill_embeds=prefillL,
+                    prefill_len=jnp.int32(PREFILL_LEN),
+                    trailing_embeds=trailingL, trailing_len=jnp.int32(12),
+                    tts_pad_embed=padL, cache_len=256,
+                    max_steps=jnp.int32(FRAMES), max_frames=128,
+                    key=jax.random.PRNGKey(seed),
                 )
-                jax.block_until_ready(w)
-                return g + (time.time() - t0)
+                np.asarray(_sum(w))  # scalar sync (no 1 MB wav readback)
+                return time.time() - t0
 
             e2eL_66 = None
-            if "vd" in wanted and have_time("vd", 60):
+            if "vd" in wanted and have_time("vd", 300):
                 # configs[2]: VoiceDesign temperature sampling across 12
                 # languages. On synthetic weights a "language" differs only
                 # in prompt content, so this is p50/p95 across 12 variants.
@@ -435,7 +445,7 @@ def main() -> None:
                 }
                 log(f"scenario vd: {json.dumps(scenarios['voicedesign_12lang_1.7b'])}")
 
-            if "clone" in wanted and have_time("clone", 240):
+            if "clone" in wanted and have_time("clone", 360):
                 # configs[3]: voice clone — 3 s reference audio through the
                 # speech-tokenizer encoder + ECAPA x-vector (the clone-only
                 # prep cost), plus the 1.7B synthesis it precedes.

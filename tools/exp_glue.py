@@ -59,17 +59,25 @@ def main():
     trailing = jax.random.normal(jax.random.PRNGKey(4), (64, h), jnp.bfloat16) * 0.05
     tts_pad = jnp.zeros((h,), jnp.bfloat16)
 
-    def prefill_cache():
+    @jax.jit
+    def _prefill(tp_):
         cache = tk.make_cache(cfg, 1, CACHE_LEN, jnp.bfloat16)
         x = jax.random.normal(
             jax.random.PRNGKey(3), (1, 64, h), jnp.bfloat16) * 0.05
-        _, cache = tk.forward(tp, cfg, x, cache, jnp.int32(0))
+        _, cache = tk.forward(tp_, cfg, x, cache, jnp.int32(0))
         return cache
 
-    def body_level(level: str):
-        """One decode frame at glue level A/B/C/D (see module docstring)."""
+    def prefill_cache():
+        return _prefill(tp)
 
-        def body(i, carry):
+    def body_level(level: str):
+        """One decode frame at glue level A/B/C/D (see module docstring).
+
+        Params flow in as jit ARGUMENTS (closure capture would bake them
+        into the HLO as literals — a 600 MB remote_compile body, HTTP 413
+        on the tunnel)."""
+
+        def frame(tp, cpp, i, carry):
             cur, cache, offset, seen, codes, tokens = carry
             st = i.astype(jnp.int32)
             seed_tok = jnp.stack(
@@ -109,7 +117,9 @@ def main():
             return cur * 0 + nxt, cache, offset + 1, seen, codes, tokens
 
         @jax.jit
-        def run(cache):
+        def run(tp_, cpp_, cache):
+            import functools as _ft
+
             carry = (
                 jnp.zeros((1, 1, h), jnp.bfloat16),
                 cache,
@@ -118,7 +128,9 @@ def main():
                 jnp.zeros((128, cfg.num_code_groups), jnp.int32),
                 jnp.zeros((128,), jnp.int32),
             )
-            out = jax.lax.fori_loop(0, FRAMES, body, carry)
+            out = jax.lax.fori_loop(
+                0, FRAMES, _ft.partial(frame, tp_, cpp_), carry
+            )
             # return the live next-input too: at levels A/B codes/seen stay
             # constant and XLA would otherwise DCE the whole loop
             return out[0], out[4], out[3]
@@ -131,13 +143,13 @@ def main():
     for level in ("A", "B", "C", "D"):
         run = body_level(level)
         t0 = time.time()
-        out = run(cache0)
+        out = run(tp, cpp, cache0)
         jax.block_until_ready(out[0])
         compile_s = time.time() - t0
         times = []
         for _ in range(3):
             t0 = time.time()
-            out = run(cache0)
+            out = run(tp, cpp, cache0)
             jax.block_until_ready(out[0])
             times.append(time.time() - t0)
         per_frame = min(times) / FRAMES * 1e3
