@@ -40,13 +40,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+import numpy as _np
+
+_sum = jax.jit(lambda a: a.astype(jnp.float32).sum())
+
+
+def _sync(x):
+    """Scalar-readback sync: block_until_ready returns EARLY on the axon
+    tunnel (see tools/ab_tks_batch.py) — a device_get of a reduced scalar
+    is the only reliable completion barrier."""
+    return float(_np.asarray(_sum(x)))
+
+
 def timeit(fn, *args, n=5, warm=1):
     for _ in range(warm):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     ts = []
     for _ in range(n):
         t0 = time.time()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         ts.append(time.time() - t0)
     return min(ts), sorted(ts)[len(ts) // 2]
 
@@ -88,7 +100,7 @@ def main():
     # ---- A: today's bench path (cache 4096, vocode at 128) ----
     t0 = time.time()
     cA = run_gen(4096, 512, 0)
-    jax.block_until_ready(cA.codes)
+    _sync(cA.codes)
     log(f"gen(4096) compile {time.time() - t0:.0f}s")
     gA, gA50 = timeit(lambda s: run_gen(4096, 512, s).codes, 1)
     buf128 = jnp.zeros((1, 128, 16), jnp.int32).at[0, :FRAMES].set(
@@ -101,7 +113,7 @@ def main():
     # ---- B: right-sized cache ----
     t0 = time.time()
     cB = run_gen(256, 128, 0)
-    jax.block_until_ready(cB.codes)
+    _sync(cB.codes)
     log(f"gen(256) compile {time.time() - t0:.0f}s")
     gB, gB50 = timeit(lambda s: run_gen(256, 128, s).codes, 1)
     log(f"B gen(cache256)  {gB*1e3:.1f} ms (p50 {gB50*1e3:.1f})  "
@@ -128,12 +140,12 @@ def main():
 
     t0 = time.time()
     out = run_fused(0)
-    jax.block_until_ready(out[0])
+    _sync(out[2])
     log(f"fused compile {time.time() - t0:.0f}s")
     dts = []
     for i in range(12):
         t0 = time.time()
-        jax.block_until_ready(run_fused(40 + i)[0])
+        _sync(run_fused(40 + i)[2])
         dts.append(time.time() - t0)
     dts.sort()
     p50, p95 = dts[len(dts) // 2], dts[-1]
