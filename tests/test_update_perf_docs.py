@@ -72,3 +72,33 @@ def test_real_docs_carry_marker_blocks():
     for name in upd.DOCS:
         text = open(os.path.join(root, name)).read()
         assert upd.BEGIN in text and upd.END in text, name
+
+
+def test_scale_curve_block(tmp_path, monkeypatch):
+    """exp_scale_curve.json (tools/exp_scale_curve.py) regenerates the
+    SCALING.md batch-sweep block; docs without the marker are untouched."""
+    doc = tmp_path / "SCALING.md"
+    doc.write_text(
+        "prose\n\n"
+        f"{upd.BEGIN}\nstale\n{upd.END}\n\n"
+        f"{upd.CURVE_BEGIN}\n(pending)\n{upd.CURVE_END}\nafter\n"
+    )
+    rec = tmp_path / "BENCH_r09.json"
+    rec.write_text(json.dumps(RECORD))
+    (tmp_path / "exp_scale_curve.json").write_text(json.dumps({
+        "frames": 66,
+        "rows": [
+            {"B": 8, "cache_len": 128, "kv": "bf16", "tok_s": 48105,
+             "ms_per_frame": 2.66, "per_seq_rtf": 0.0335},
+            {"B": 64, "cache_len": 512, "kv": "int8", "tok_s": 150000,
+             "ms_per_frame": 4.5, "per_seq_rtf": 0.057},
+        ],
+    }))
+    monkeypatch.setattr(upd, "ROOT", str(tmp_path))
+    monkeypatch.setattr(upd, "DOCS", ("SCALING.md",))
+    upd.main([str(rec)])
+    out = doc.read_text()
+    assert "(pending)" not in out
+    assert "| 8 | 128 | bf16 | **48,105** | 2.66 | 0.0335 |" in out
+    assert "| 64 | 512 | int8 | **150,000** | 4.5 | 0.057 |" in out
+    assert out.endswith("after\n")

@@ -111,11 +111,41 @@ def build_table(rec: dict, src: str) -> str:
     )
 
 
+CURVE_BEGIN, CURVE_END = "<!-- bench:scale-curve -->", "<!-- /bench:scale-curve -->"
+
+
+def build_scale_table(path: str) -> str | None:
+    """Batch-sweep table for SCALING.md from tools/exp_scale_curve.py output
+    (round-4 verdict #9: the knee must be measured, not prose)."""
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        data = json.load(f)
+    rows = [
+        "| B | cache slots | KV | codec tok/s | ms/frame | per-seq RTF |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in data["rows"]:
+        rows.append(
+            f"| {r['B']} | {r['cache_len']} | {r['kv']} | "
+            f"**{r['tok_s']:,}** | {r['ms_per_frame']} | {r['per_seq_rtf']} |"
+        )
+    return (
+        "Measured lockstep batch sweep (66 frames/seq, 0.6B int8 fused "
+        "megakernels, one v5e; `python tools/exp_scale_curve.py`, record in "
+        "`exp_scale_curve.json`):\n\n" + "\n".join(rows)
+    )
+
+
 def main(argv=None):
     args = (argv if argv is not None else sys.argv[1:])
     rec, src = load_record(args[0] if args else None)
     table = build_table(rec, src)
     pat = re.compile(re.escape(BEGIN) + r".*?" + re.escape(END), re.DOTALL)
+    curve = build_scale_table(os.path.join(ROOT, "exp_scale_curve.json"))
+    curve_pat = re.compile(
+        re.escape(CURVE_BEGIN) + r".*?" + re.escape(CURVE_END), re.DOTALL
+    )
     for doc in DOCS:
         p = os.path.join(ROOT, doc)
         text = open(p).read()
@@ -123,6 +153,10 @@ def main(argv=None):
             print(f"{doc}: no {BEGIN} marker, skipped")
             continue
         new = pat.sub(BEGIN + "\n" + table + "\n" + END, text)
+        if curve is not None and CURVE_BEGIN in new:
+            new = curve_pat.sub(
+                CURVE_BEGIN + "\n" + curve + "\n" + CURVE_END, new
+            )
         if new != text:
             open(p, "w").write(new)
             print(f"{doc}: bench table regenerated from {src}")
