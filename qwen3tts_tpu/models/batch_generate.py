@@ -135,7 +135,7 @@ def _frame_batch(
     # ones produce discarded values — branching per-sequence would force a
     # gather/compact that costs more than the wasted compute at these sizes)
     code0_cp = jnp.where(is_eos, 0, code0)
-    if _use_cp_kernel(cp_params, cp_cfg, talker_cfg, sampling):
+    if _use_cp_kernel(cp_params, cp_cfg, talker_cfg, sampling, batch=B):
         from ..ops.cp_kernel import predict_codes_fused
 
         rest, esum = predict_codes_fused(
@@ -286,7 +286,9 @@ def generate_chunk_batch(
     # same cheap per-frame seed derivation as the B=1 fused loop
     # (models/generate.py): with both samplers in-kernel the only per-frame
     # key material is two int32 words per consumer
-    cheap_seeds = use_tks and _use_cp_kernel(cp_params, cp_cfg, talker_cfg, sampling)
+    cheap_seeds = use_tks and _use_cp_kernel(
+        cp_params, cp_cfg, talker_cfg, sampling, batch=B
+    )
     if use_tks:
         supp = suppress_mask
         if sampling.forbid_eos:

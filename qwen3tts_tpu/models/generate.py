@@ -84,7 +84,9 @@ class GenResult(NamedTuple):
     tokens: jnp.ndarray  # [max_frames] int32
 
 
-def _use_cp_kernel(cp_params, cp_cfg, talker_cfg, sampling: SamplingConfig) -> bool:
+def _use_cp_kernel(
+    cp_params, cp_cfg, talker_cfg, sampling: SamplingConfig, batch: int = 1
+) -> bool:
     """Trace-time gate for the fused Pallas CP inner-loop kernel.
 
     Engaged for the int8 serving config on TPU when the sampling subset the
@@ -101,7 +103,7 @@ def _use_cp_kernel(cp_params, cp_cfg, talker_cfg, sampling: SamplingConfig) -> b
         return False
     from ..ops.cp_kernel import kernel_supported
 
-    return kernel_supported(cp_params, cp_cfg, talker_cfg.hidden_size)
+    return kernel_supported(cp_params, cp_cfg, talker_cfg.hidden_size, batch)
 
 
 def _cpk_mode() -> str:

@@ -448,13 +448,17 @@ def _shapes(cp_cfg, talker_h: int, batch: int = 1) -> dict:
     )
 
 
-def kernel_supported(cp_params, cp_cfg, talker_h: int) -> bool:
+def kernel_supported(cp_params, cp_cfg, talker_h: int, batch: int = 1) -> bool:
     """True if this CP parameterization fits the fused kernel.
 
     Requires: Int8Linear layer weights (the serving config), no
     small-to-MTP projection (talker_h == cp hidden), dense (unquantized)
     embedding tables, 128-aligned dims, and a VMEM-resident footprint that
-    fits v5e (~128 MB, we budget 100).
+    fits v5e (~128 MB, we budget 100 for the batch-independent parts and
+    add the per-sequence buffers on top — B=64 at the 0.6B shapes blew
+    the 126 MB scoped-vmem stack by 914 KB (exp_scale_curve, 2026-08-21),
+    so the gate is batch-aware and the lockstep decode falls back to the
+    XLA CP path past the fit limit instead of failing to compile).
     """
     from .quant import Int8Linear
 
@@ -484,7 +488,20 @@ def kernel_supported(cp_params, cp_cfg, talker_h: int) -> bool:
         + 3 * s["H"] * s["I"]
     )
     buf_bytes = 3 * s["H"] * s["V"] + 3 * s["V"] * s["H"] * 2
-    return weight_bytes + buf_bytes < 100 * 2**20
+    if weight_bytes + buf_bytes >= 100 * 2**20:
+        return False
+    # per-sequence VMEM: KV scratch [L, SLOTS, 2*B*NKV, D] bf16 + x0 rows
+    # + ~0.2 MB/seq of compute temporaries. Calibrated against the
+    # measured B=64 failure (126.89 MB scoped alloc = 93.7 MB fixed from
+    # the terms above + ~0.52 MB/seq at the 0.6B shapes); the 123 MB
+    # budget keeps ~4 MB margin under the observed ~126 MB stack limit
+    # while passing the measured-good B=48 (118.6 MB estimated).
+    per_seq = (
+        s["L"] * s["SLOTS"] * 2 * s["NKV"] * s["D"] * 2
+        + 4 * s["H"]
+        + 200 * 1024
+    )
+    return weight_bytes + buf_bytes + batch * per_seq < 123 * 2**20
 
 
 @functools.partial(

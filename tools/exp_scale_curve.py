@@ -20,6 +20,7 @@ Usage: python tools/exp_scale_curve.py [out.json]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -45,7 +46,15 @@ def log(*a):
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "exp_scale_curve.json"
+    args = [a for a in sys.argv[1:]]
+    only = None
+    if "--bs" in args:
+        i = args.index("--bs")
+        only = tuple(int(b) for b in args[i + 1].split(","))
+        del args[i:i + 2]
+    skip_short = "--skip-short" in args
+    args = [a for a in args if a != "--skip-short"]
+    out_path = args[0] if args else "exp_scale_curve.json"
     cfg = _flagship_06b()
     cpc = cfg.code_predictor_config
     h = cfg.hidden_size
@@ -110,11 +119,22 @@ def main():
             f"{row['tok_s']} tok/s, {row['ms_per_frame']} ms/frame "
             f"(compile {compile_s:.0f}s)")
 
-    for B in BATCHES:
-        measure(B, 128, False)
-    for B in BATCHES:
+    batches = only or BATCHES
+    if not skip_short:
+        for B in batches:
+            measure(B, 128, False)
+    for B in batches:
         measure(B, 512, True)
 
+    # merge with an existing record (reruns of a subset keep other rows)
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            old = json.load(f).get("rows", [])
+        keyed = {(r["B"], r["cache_len"], r["kv"]): r for r in old}
+        keyed.update({(r["B"], r["cache_len"], r["kv"]): r for r in results})
+        results = sorted(
+            keyed.values(), key=lambda r: (r["cache_len"], r["kv"], r["B"])
+        )
     with open(out_path, "w") as f:
         json.dump({"frames": FRAMES, "rows": results}, f, indent=1)
     log(f"wrote {out_path}")
