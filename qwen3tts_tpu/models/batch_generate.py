@@ -54,16 +54,18 @@ class BatchResult(NamedTuple):
     tokens: jnp.ndarray  # [B, max_frames]
 
 
-def _use_talker_sample_kernel_batch(talker_params, talker_cfg, sampling, B) -> bool:
+def _use_talker_sample_kernel_batch(
+    talker_params, talker_cfg, sampling, B, kv_quant: bool = False
+) -> bool:
     """Fused talker step + in-kernel row-parallel code0 sampler for the
     lockstep batch (same gates as the B=1 ``_use_talker_sample_kernel``
-    plus kernel support at this batch size)."""
+    plus kernel support at this batch size / KV-cache quantization)."""
     from ..ops.talker_kernel import step_supported
     from .generate import _use_talker_sample_kernel
 
     return _use_talker_sample_kernel(
         talker_params, talker_cfg, sampling
-    ) and step_supported(talker_params, talker_cfg, batch=B)
+    ) and step_supported(talker_params, talker_cfg, batch=B, kv_quant=kv_quant)
 
 
 def _sample_batch(key, logits, sampling, seen, suppress_mask, eos_id,
@@ -280,7 +282,10 @@ def generate_chunk_batch(
     from .generate import _use_cp_kernel
 
     use_tks = (
-        _use_talker_sample_kernel_batch(talker_params, talker_cfg, sampling, B)
+        _use_talker_sample_kernel_batch(
+            talker_params, talker_cfg, sampling, B,
+            kv_quant=carry.cache.quantized,
+        )
         and carry.cache.k.shape[3] % 128 == 0
     )
     # same cheap per-frame seed derivation as the B=1 fused loop

@@ -672,7 +672,7 @@ def forward_batched_step(
     ):
         from ..ops.talker_kernel import _layout, step_supported, talker_decode_step
 
-        if step_supported(params, cfg, batch=B):
+        if step_supported(params, cfg, batch=B, kv_quant=cache.quantized):
             mode = _kernel_mode(params)
             h, k_new, v_new = talker_decode_step(
                 params, cfg, inputs_embeds, cache.k, cache.v, offsets, cos, sin,

@@ -622,7 +622,7 @@ def _wq(w):
     return w, jnp.ones((w.shape[0], 1, w.shape[-1]), jnp.float32)
 
 
-def step_supported(params, cfg, batch: int = 1) -> bool:
+def step_supported(params, cfg, batch: int = 1, kv_quant: bool = False) -> bool:
     """Fused projection layout (Int8Linear serving or dense bf16),
     128-aligned dims, double-buffered weights fit VMEM."""
     layers = params["layers"]
@@ -639,6 +639,14 @@ def step_supported(params, cfg, batch: int = 1) -> bool:
     per_layer = (
         H * (NQ + 2 * NKV) * D + NQ * D * H + H * 2 * I + I * H
     ) * itemsize
+    if kv_quant and 4 * batch * NKV * 128 * D * 2 > 34 * 2**20:
+        # int8-KV streams per-row SCALES whose last dim is the cache time
+        # axis — Mosaic requires 128-aligned slices there, so the 64-row
+        # block _pick_block_t falls back to at very large B is illegal
+        # (measured: Mosaic "slice along dim 3 must be 128-aligned" at
+        # B=64, 2026-08-21); without it the KV scratch blows the budget.
+        # The lockstep decode uses the XLA path for this config.
+        return False
     # KV scratch is bounded by _pick_block_t's 34 MB budget (floor: the
     # 128-row block that is always legal)
     kv_bufs = min(34 * 2**20, 4 * batch * NKV * 512 * D * 2)
