@@ -552,11 +552,22 @@ def main() -> None:
     # every batch size, 2026-08-18 A/B). Driver-reproducible source of the
     # README/COMPONENTS tok/s number (tools/bench_batch.py is the
     # parameterized version).
-    if "batch" in wanted and have_time("batch", 420):
+    # B=32 keeps cross-round comparability; B=48 is the measured sweet spot
+    # (161k tok/s, tools/exp_scale_curve.py — the CP kernel's VMEM ceiling
+    # binds just past it and B=64 falls off a cliff to the XLA path).
+    # Round-5 sync fix: batched timings use a device_get readback — on this
+    # tunnel block_until_ready can return with batched frames still in
+    # flight (tools/ab_tks_batch.py), which OVERSTATED r4's B=32 number
+    # (129,385 vs ~105k properly synced).
+    batch_bs = [
+        int(b) for b in os.environ.get("BENCH_BATCH_B", "32,48").split(",")
+    ]
+    for BB in batch_bs:
+        if "batch" not in wanted or not have_time(f"batch{BB}", 420):
+            continue
         try:
             from qwen3tts_tpu.models import batch_generate as bg
 
-            BB = int(os.environ.get("BENCH_BATCH_B", "32"))
             prefB = (
                 jax.random.normal(
                     jax.random.PRNGKey(13), (BB, p_bucket, cfg.hidden_size),
@@ -579,11 +590,13 @@ def main() -> None:
                     max_frames=FRAMES, key=jax.random.PRNGKey(seed),
                 )
 
-            rB = run_batch(0)
-            jax.block_until_ready(rB.codes)  # compile+warm
+            def sync_batch(res):
+                # device_get readback = the only reliable batched barrier
+                return int(jax.device_get(res.codes)[:, -1, 0].sum())
+
+            sync_batch(run_batch(0))  # compile+warm
             t0 = time.time()
-            rB = run_batch(1)
-            jax.block_until_ready(rB.codes)
+            sync_batch(run_batch(1))
             bt = time.time() - t0
             scenarios[f"batch{BB}_int8"] = {
                 "tok_s": round(BB * FRAMES * 16 / bt),
@@ -592,8 +605,8 @@ def main() -> None:
             }
             log(f"scenario batch: {json.dumps(scenarios[f'batch{BB}_int8'])}")
         except Exception as ex:  # pragma: no cover
-            log(f"scenario batch failed: {ex!r}")
-            skipped.append({"scenario": "batch", "reason": f"error: {ex!r}"})
+            log(f"scenario batch{BB} failed: {ex!r}")
+            skipped.append({"scenario": f"batch{BB}", "reason": f"error: {ex!r}"})
 
     if scenarios:
         headline["scenarios"] = scenarios

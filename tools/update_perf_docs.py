@@ -65,6 +65,11 @@ _FMT = {
         lambda s: f"**{int(s['tok_s']):,} codec tok/s** "
         f"({s['frame_ms']} ms/frame, per-seq RTF {s['per_seq_rtf']})",
     ),
+    "batch48_int8": (
+        "B=48 batched serving (0.6B int8, lockstep — measured sweet spot)",
+        lambda s: f"**{int(s['tok_s']):,} codec tok/s** "
+        f"({s['frame_ms']} ms/frame, per-seq RTF {s['per_seq_rtf']})",
+    ),
 }
 
 
