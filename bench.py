@@ -162,6 +162,12 @@ def main() -> None:
     def make_cache():
         return tk.make_cache(cfg, 1, cache_len, jnp.bfloat16)
 
+    def rb(x):
+        """Readback barrier: on this tunnel block_until_ready can return
+        before the program finishes (tools/ab_tks_batch.py); a small
+        host transfer of a data-dependent slice is the reliable sync."""
+        return np.asarray(x.ravel()[:8])
+
     def run_gen(seed, tp=None, cpp=None, pf=None):
         # the production non-streaming decode as one fused device program
         return gen.generate_codes_fused(
@@ -194,14 +200,14 @@ def main() -> None:
     # ---- warmup / compile ----
     t0 = time.time()
     carry = run_gen(0)
-    jax.block_until_ready(carry.codes)
+    rb(carry.codes)
     log(f"generation compile+first run: {time.time() - t0:.1f}s "
         f"({int(carry.n_frames)} frames)")
 
     codes_buf = carry.codes[None]  # [1, 128, 16]
     t0 = time.time()
     wav, lengths = vc.decode(voc_params, vcfg, codes_buf, jnp.int32(FRAMES))
-    jax.block_until_ready(wav)
+    rb(wav)
     log(f"vocoder compile+first run: {time.time() - t0:.1f}s")
 
     # ---- TTFT (prefill + first frame, steady state) ----
@@ -213,7 +219,7 @@ def main() -> None:
         tts_pad_embed=tts_pad, cache=make_cache(), max_frames=max_frames,
         key=jax.random.PRNGKey(4),
     )
-    jax.block_until_ready(warm.tokens)
+    rb(warm.tokens)
     t0 = time.time()
     c1 = gen.prefill_start(
         talker_params, cp_params, talker_cfg=cfg, cp_cfg=cpc, sampling=sampling,
@@ -222,7 +228,7 @@ def main() -> None:
         tts_pad_embed=tts_pad, cache=make_cache(), max_frames=max_frames,
         key=jax.random.PRNGKey(5),
     )
-    jax.block_until_ready(c1.tokens)
+    rb(c1.tokens)  # includes the first-token readback, as streaming does
     ttft = time.time() - t0
     log(f"TTFT (prefill + 1 frame): {ttft * 1000:.1f}ms")
 
@@ -247,7 +253,7 @@ def main() -> None:
             win_bucket=WIN_BUCKET,
         )
     c2, wav_w = run_ttfa(16)
-    jax.block_until_ready(wav_w)  # compile+warm
+    rb(wav_w)  # compile+warm
     t0 = time.time()
     c2, wav_first = run_ttfa(6)
     pcm = np.asarray(wav_first)[: AUDIO_CHUNK * 1920]  # readback + host slice
@@ -263,12 +269,12 @@ def main() -> None:
     for i in range(n_runs):
         t0 = time.time()
         c = run_gen(10 + i)
-        jax.block_until_ready(c.codes)
+        rb(c.codes)
         gen_times.append(time.time() - t0)
         frames_done.append(int(c.n_frames))
         t0 = time.time()
         wav, lengths = vc.decode(voc_params, vcfg, c.codes[None], jnp.int32(FRAMES))
-        jax.block_until_ready(wav)
+        rb(wav)
         voc_times.append(time.time() - t0)
 
     # headline: the single-program gen+vocoder production path
@@ -381,13 +387,13 @@ def main() -> None:
 
             t0 = time.time()
             cL = run_17b(0, LONG_FRAMES)
-            jax.block_until_ready(cL.codes)  # compile+warm
+            rb(cL.codes)  # compile+warm
             log(f"1.7B generation compile+first run: {time.time() - t0:.1f}s")
 
             if "long" in wanted:  # configs[1]: long decode + KV-cache growth
                 t0 = time.time()
                 cL = run_17b(1, LONG_FRAMES)
-                jax.block_until_ready(cL.codes)
+                rb(cL.codes)
                 genL_t = time.time() - t0
                 framesL = int(cL.n_frames)
                 audioL_s = framesL / CODEC_RATE
@@ -395,10 +401,10 @@ def main() -> None:
                     cL.codes[:framesL]
                 )
                 wavL, _ = vc.decode(voc_params, vcfg, bufL, jnp.int32(framesL))
-                jax.block_until_ready(wavL)  # includes the 512-bucket compile
+                rb(wavL)  # includes the 512-bucket compile
                 t0 = time.time()
                 wavL, _ = vc.decode(voc_params, vcfg, bufL, jnp.int32(framesL))
-                jax.block_until_ready(wavL)
+                rb(wavL)
                 vocL_t = time.time() - t0
                 scenarios["long_decode_1.7b_512f"] = {
                     "rtf": round((genL_t + vocL_t) / audioL_s, 4),
@@ -469,11 +475,13 @@ def main() -> None:
                 audio3s = jax.random.normal(jax.random.PRNGKey(9), (72000,)) * 0.1
                 codes_ref = enc.encode(ep, ecfg, audio3s[None])
                 xv = spk.extract_embedding(sp, scfg, audio3s)
-                jax.block_until_ready((codes_ref, xv))  # compile+warm
+                rb(codes_ref[0] if isinstance(codes_ref, tuple) else codes_ref)
+                rb(xv)  # compile+warm
                 t0 = time.time()
                 codes_ref = enc.encode(ep, ecfg, audio3s[None])
                 xv = spk.extract_embedding(sp, scfg, audio3s)
-                jax.block_until_ready((codes_ref, xv))
+                rb(codes_ref[0] if isinstance(codes_ref, tuple) else codes_ref)
+                rb(xv)
                 prep_s = time.time() - t0
                 if e2eL_66 is None:
                     vd_run(59)  # warm
@@ -526,12 +534,12 @@ def main() -> None:
             prefill4 = jnp.zeros_like(prefill).at[:, :PREFILL_LEN].set(emb4)
 
             c4 = run_gen(0, tp4, cp4, prefill4)
-            jax.block_until_ready(c4.codes)  # warm (cache hit on the program)
+            rb(c4.codes)  # warm (cache hit on the program)
             t0 = time.time()
             emb4 = prompt_embeds_4(ids4)  # token-map gather on the timed path
             prefill4 = jnp.zeros_like(prefill).at[:, :PREFILL_LEN].set(emb4)
             c4 = run_gen(1, tp4, cp4, prefill4)
-            jax.block_until_ready(c4.codes)
+            rb(c4.codes)
             gen4_t = time.time() - t0
             scenarios["int4_serving_0.6b"] = {
                 "rtf": round((gen4_t + voc_t) / audio_s, 4),
