@@ -115,6 +115,7 @@ def generate_codes_batch_dp(
     max_steps: jnp.ndarray,  # [B]
     max_frames: int,
     key: jax.Array,
+    samp_vec=None,  # [B, 4] per-slot sampling (sampling.per_request)
 ) -> bg.BatchResult:
     """Lockstep batch synthesis sharded over the mesh's "dp" axis.
 
@@ -128,18 +129,19 @@ def generate_codes_batch_dp(
     B = prefill_embeds.shape[0]
     assert B % dp == 0, f"batch {B} not divisible by dp={dp}"
 
-    def shard_fn(tkp, cpp, pe, pl, te, tl, pad, cache_, ms, key_):
+    def shard_fn(tkp, cpp, pe, pl, te, tl, pad, cache_, ms, key_, sv):
         key_ = jax.random.fold_in(key_, jax.lax.axis_index("dp"))
         carry = bg.prefill_start_batch.__wrapped__(
             tkp, cpp, talker_cfg=talker_cfg, cp_cfg=cp_cfg, sampling=sampling,
             prefill_embeds=pe, prefill_lens=pl, trailing_embeds=te,
             trailing_lens=tl, tts_pad_embed=pad, cache=cache_,
-            max_frames=max_frames, key=key_,
+            max_frames=max_frames, key=key_, samp_vec=sv,
         )
         carry = bg.generate_chunk_batch.__wrapped__(
             tkp, cpp, carry, talker_cfg=talker_cfg, cp_cfg=cp_cfg,
             sampling=sampling, trailing_embeds=te, trailing_lens=tl,
             tts_pad_embed=pad, max_steps=ms, until_step=jnp.int32(max_frames),
+            samp_vec=sv,
         )
         return bg.BatchResult(
             codes=carry.codes, n_frames=carry.frames, tokens=carry.tokens
@@ -159,6 +161,7 @@ def generate_codes_batch_dp(
             P(None, "dp"),  # cache leaves [L, B, ...]
             P("dp"),  # max_steps
             P(),  # key (fold_in(axis_index) differentiates shards)
+            P("dp"),  # samp_vec [B, 4] (None when not per_request)
         ),
         out_specs=P("dp"),
         # loop-carried state is shard-varying by construction (per-shard
@@ -168,7 +171,7 @@ def generate_codes_batch_dp(
     return fn(
         talker_params, cp_params, prefill_embeds, prefill_lens,
         trailing_embeds, trailing_lens, tts_pad_embed, cache,
-        jnp.asarray(max_steps, jnp.int32), key,
+        jnp.asarray(max_steps, jnp.int32), key, samp_vec,
     )
 
 
