@@ -57,7 +57,7 @@ def _mxu_kernel(bits: int, group: int, x_ref, w_ref, s_ref, b_ref, o_ref):
     acc = jnp.zeros((1, O_t), jnp.float32)
     for j in range(per_word):
         qj = ((w >> (bits * j)) & mask).astype(jnp.bfloat16)  # [O_t, W]
-        xj = jax.lax.dynamic_slice(x, (j, 0), (1, W))  # pre-strided rows
+        xj = x[j][None]  # static row index (python loop)
         acc = acc + jax.lax.dot_general(
             xj.astype(jnp.bfloat16), qj,
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
@@ -129,13 +129,31 @@ def plane_variant(x, lo, hi, scales, block_o=256):
     )(xs, lo, hi, scales)
 
 
-def timeit(fn, n=30):
-    jax.block_until_ready(fn())
+import numpy as _np
+
+
+def timeit_loop(fn_of_x, x, n=200):
+    """Amortized in-program timing: per-dispatch tunnel latency (~1 ms)
+    dwarfs a single matvec, and block_until_ready is unreliable here —
+    run the variant n times inside one fori_loop with a fake data
+    dependency (x + acc*0) so XLA can't hoist it, and sync via a scalar
+    readback."""
+
+    @jax.jit
+    def loop(xv):
+        def body(i, acc):
+            y = fn_of_x(xv + acc * 0)
+            return acc + y.astype(jnp.float32).sum() * 1e-20
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    _np.asarray(loop(x))  # compile+warm
     t0 = time.time()
-    for _ in range(n):
-        r = fn()
-    jax.block_until_ready(r)
-    return (time.time() - t0) / n
+    _np.asarray(loop(x))
+    dt1 = time.time() - t0
+    t0 = time.time()
+    _np.asarray(loop(x))
+    return min(dt1, time.time() - t0) / n
 
 
 def main():
@@ -151,8 +169,8 @@ def main():
         scales_j, biases_j = jnp.asarray(scales), jnp.asarray(biases)
         x = jnp.asarray(rng.standard_normal((1, I)).astype(np.float32))
 
-        t_packed = timeit(lambda: quant_matmul_pallas(
-            x, packed, scales_j, biases_j, 4, GROUP))
+        t_packed = timeit_loop(lambda xv: quant_matmul_pallas(
+            xv, packed, scales_j, biases_j, 4, GROUP), x)
 
         # plane repack: value k pairs with k + I/2
         q = np.zeros((O, I), np.uint32)
@@ -172,9 +190,11 @@ def main():
             lo |= lo_vals[:, j::8] << (4 * j)
             hi |= hi_vals[:, j::8] << (4 * j)
         lo, hi = jnp.asarray(lo), jnp.asarray(hi)
-        t_plane = timeit(lambda: plane_variant(x, lo, hi, scales_j))
+        t_plane = timeit_loop(
+            lambda xv: plane_variant(xv, lo, hi, scales_j), x)
 
-        t_mxu = timeit(lambda: mxu_variant(x, packed, scales_j, biases_j))
+        t_mxu = timeit_loop(
+            lambda xv: mxu_variant(xv, packed, scales_j, biases_j), x)
 
         log(f"I={I:5d} O={O:5d}: packed {t_packed*1e6:7.1f} us | "
             f"plane {t_plane*1e6:7.1f} us | mxu {t_mxu*1e6:7.1f} us")
