@@ -358,3 +358,55 @@ def test_http_per_request_sampling(model):
                 assert "per-request" in json.loads(out)["error"]
         finally:
             srv.shutdown()
+
+
+def test_slot_progress_unit():
+    """SlotProgress (serving.py): coalescing publish, watermark waits,
+    failure propagation, timeout — no model required."""
+    import threading
+    import time as _t
+
+    import pytest as _pytest
+
+    from qwen3tts_tpu.serving import SlotProgress
+
+    p = SlotProgress()
+    # coalescing: only the latest snapshot is kept
+    p.publish(np.zeros((2, 16), np.int32), 2, False)
+    p.publish(np.zeros((5, 16), np.int32), 5, False)
+    codes, n, done = p.wait_beyond(0, timeout=1)
+    assert n == 5 and not done and codes.shape == (5, 16)
+    # wait_beyond blocks until frames pass the watermark
+    got = {}
+
+    def consumer():
+        got["r"] = p.wait_beyond(5, timeout=10)
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    _t.sleep(0.05)
+    p.publish(np.zeros((7, 16), np.int32), 7, True)
+    t.join(timeout=10)
+    assert got["r"][1] == 7 and got["r"][2] is True
+
+    # timeout raises
+    q = SlotProgress()
+    with _pytest.raises(TimeoutError):
+        q.wait_beyond(0, timeout=0.05)
+
+    # failure propagates to the waiter
+    r = SlotProgress()
+
+    def failer():
+        _t.sleep(0.05)
+        r.fail(RuntimeError("device died"))
+
+    threading.Thread(target=failer).start()
+    with _pytest.raises(RuntimeError, match="device died"):
+        r.wait_beyond(0, timeout=10)
+
+    # cancel wakes a waiter (returns current state, consumer stops)
+    c = SlotProgress()
+    threading.Thread(target=lambda: (_t.sleep(0.05), c.cancel())).start()
+    codes, n, done = c.wait_beyond(0, timeout=10)
+    assert n == 0 and c.cancelled
