@@ -487,7 +487,10 @@ def main() -> None:
                 xv = spk.extract_embedding(sp, scfg, audio3s)
                 rb(codes_ref[0] if isinstance(codes_ref, tuple) else codes_ref)
                 rb(xv)
-                prep_s = time.time() - t0
+                # two sync barriers = two tunnel round-trips that on-chip
+                # prep wouldn't pay on a PCIe host; subtract them (same
+                # treatment as TTFT)
+                prep_s = max(time.time() - t0 - 2 * rtt, 0.0)
                 if e2eL_66 is None:
                     vd_run(59)  # warm
                     e2eL_66 = vd_run(60)
