@@ -106,3 +106,85 @@ def test_soak_threads(params, dp):
         np.testing.assert_array_equal(
             out.codes, np.asarray(ref.codes)[:n], err_msg=f"request {i}"
         )
+
+
+@pytest.mark.parametrize("dp", [0, 2])
+def test_soak_mixed_streams_and_batch(params, dp):
+    """Round-5 soak: plain submits and submit_stream consumers hammer the
+    SAME server concurrently — streamed requests publish progress between
+    chunks while batch requests decode in the other slots; some streams
+    are abandoned mid-utterance (slot cancel under load). Every completed
+    request's codes must still equal its independent greedy run, and
+    every stream's token events must match its own final codes."""
+    from qwen3tts_tpu.serving import Qwen3TTSServer
+
+    talker, cpp = params
+    kw = {}
+    if dp:
+        from qwen3tts_tpu.parallel import mesh as pm
+
+        kw["dp_mesh"] = pm.make_mesh(jax.devices()[:dp], tp=1)
+    srv = Qwen3TTSServer(
+        talker, cpp, talker_cfg=TINY_TALKER, cp_cfg=TINY_CP, sampling=GREEDY,
+        tts_pad_embed=jnp.zeros((TINY_TALKER.hidden_size,)),
+        slots=4, chunk_frames=2, max_frames=16,
+        prompt_bucket=16, trailing_bucket=8, cache_len=64,
+        dtype=jnp.float32, **kw,
+    )
+    N_BATCH, N_STREAM = 6, 6
+    bitems = [_item(i) for i in range(N_BATCH)]
+    sitems = [_item(100 + i) for i in range(N_STREAM)]
+    bfuts = [None] * N_BATCH
+    sresults: list = [None] * N_STREAM
+    errors: list = []
+
+    def batcher():
+        for i, it in enumerate(bitems):
+            bfuts[i] = srv.submit(it)
+
+    def streamer(i):
+        try:
+            fut, prog = srv.submit_stream(sitems[i])
+            if i % 3 == 2:  # every third stream is abandoned after 1 frame
+                prog.wait_beyond(0, timeout=600)
+                prog.cancel()
+                sresults[i] = ("cancelled", None)
+                return
+            seen = 0
+            toks = []
+            while True:
+                codes, n, done = prog.wait_beyond(seen, timeout=600)
+                toks.extend(int(t) for t in codes[seen:n, 0])
+                seen = n
+                if done:
+                    break
+            out = fut.result(timeout=600)
+            assert toks == [int(t) for t in out.codes[:, 0]], f"stream {i}"
+            sresults[i] = ("done", out)
+        except Exception as e:  # surface in the main thread
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=batcher)] + [
+        threading.Thread(target=streamer, args=(i,)) for i in range(N_STREAM)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    bouts = [f.result(timeout=600) for f in bfuts]
+    srv.close()
+    assert not errors, errors
+
+    for i, (it, out) in enumerate(zip(bitems, bouts)):
+        ref = _single(params, it)
+        n = int(ref.n_frames)
+        assert out.n_frames == n, f"batch {i}"
+        np.testing.assert_array_equal(out.codes, np.asarray(ref.codes)[:n])
+    for i, it in enumerate(sitems):
+        kind, out = sresults[i]
+        if kind == "cancelled":
+            continue
+        ref = _single(params, it)
+        n = int(ref.n_frames)
+        assert out.n_frames == n, f"stream {i}"
+        np.testing.assert_array_equal(out.codes, np.asarray(ref.codes)[:n])
