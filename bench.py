@@ -239,9 +239,13 @@ def main() -> None:
         key=jax.random.PRNGKey(5),
     )
     rb(c1.tokens)
-    ttft = max(time.time() - t0 - rtt, 0.0)  # on-chip latency (RTT removed)
-    log(f"TTFT (prefill + 1 frame): {ttft * 1000:.1f}ms "
-        f"(raw incl. tunnel readback: {(ttft + rtt) * 1000:.1f})")
+    # RAW including the first-token readback: a streaming client cannot act
+    # before the token reaches the host, and subtracting the measured RTT
+    # proved unstable (exec time ~ RTT, both vary run to run) — report the
+    # conservative number, with the RTT logged for context.
+    ttft = time.time() - t0
+    log(f"TTFT (prefill + 1 frame, incl. token readback): "
+        f"{ttft * 1000:.1f}ms (tunnel RTT context: {rtt * 1000:.1f} ms)")
 
     # ---- TTFA (time to first audio, streaming path) ----
     # mirrors tts.generate_stream(audio_chunk_frames=N) since round 4:
@@ -478,19 +482,30 @@ def main() -> None:
                     lambda k: spk.init_speaker_encoder_params(k, scfg, jnp.float32)
                 )(jax.random.PRNGKey(8))
                 audio3s = jax.random.normal(jax.random.PRNGKey(9), (72000,)) * 0.1
-                codes_ref = enc.encode(ep, ecfg, audio3s[None])
-                xv = spk.extract_embedding(sp, scfg, audio3s)
+
+                # ONE fused prep dispatch (a clone client needs both
+                # outputs before the prompt is buildable — fusing is the
+                # production shape) timed RAW including its single sync
+                # readback: conservative upper bound, no RTT arithmetic
+                # (a 2x-RTT subtraction over-corrected to 0.8 ms on a
+                # tunnel-variance night — not credible; the raw number is)
+                @jax.jit
+                def clone_prep(audio):
+                    return (
+                        enc.encode(ep, ecfg, audio[None]),
+                        spk.extract_embedding(sp, scfg, audio),
+                    )
+
+                codes_ref, xv = clone_prep(audio3s)
                 rb(codes_ref[0] if isinstance(codes_ref, tuple) else codes_ref)
                 rb(xv)  # compile+warm
-                t0 = time.time()
-                codes_ref = enc.encode(ep, ecfg, audio3s[None])
-                xv = spk.extract_embedding(sp, scfg, audio3s)
-                rb(codes_ref[0] if isinstance(codes_ref, tuple) else codes_ref)
-                rb(xv)
-                # two sync barriers = two tunnel round-trips that on-chip
-                # prep wouldn't pay on a PCIe host; subtract them (same
-                # treatment as TTFT)
-                prep_s = max(time.time() - t0 - 2 * rtt, 0.0)
+                prep_ts = []
+                for _ in range(3):
+                    t0 = time.time()
+                    codes_ref, xv = clone_prep(audio3s)
+                    rb(xv)
+                    prep_ts.append(time.time() - t0)
+                prep_s = min(prep_ts)
                 if e2eL_66 is None:
                     vd_run(59)  # warm
                     e2eL_66 = vd_run(60)
